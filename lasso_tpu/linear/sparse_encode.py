@@ -1,0 +1,100 @@
+"""Public encode API: code initialization + string-dispatch over solvers.
+
+Mirrors /root/reference/lasso/linear/sparse_encode.py:8-73 with the same
+algorithm names, init modes, and per-algorithm init defaults. Everything
+dispatched here is a pure jittable function; wrap ``sparse_encode`` in
+``jax.jit`` (algorithm/init/maxiter etc. are static) or use
+:func:`lasso_tpu.parallel.data_parallel_encode` for sharded execution.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from lasso_tpu.config import get_precision
+from lasso_tpu.linalg.basic import lstsq, ridge
+
+_init_defaults = {
+    "ista": "zero",
+    "cd": "zero",
+    "cd-mod": "zero",
+    "gpsr": "zero",
+    "iter-ridge": "ridge",
+    "interior-point": "ridge",
+    "split-bregman": "zero",
+    "own": "zero",
+}
+
+
+def initialize_code(x, weight, alpha, mode, key=None):
+    """Initialize codes z0: modes zero / unif / lstsq / ridge / transpose
+    (reference sparse_encode.py:19-35)."""
+    n_samples = x.shape[0]
+    n_components = weight.shape[1]
+    if mode == "zero":
+        z0 = jnp.zeros((n_samples, n_components), dtype=x.dtype)
+    elif mode == "unif":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        z0 = jax.random.uniform(
+            key, (n_samples, n_components), dtype=x.dtype,
+            minval=-0.1, maxval=0.1)
+    elif mode == "lstsq":
+        z0 = lstsq(x.T, weight).T
+    elif mode == "ridge":
+        z0 = ridge(x.T, weight, alpha=alpha).T
+    elif mode == "transpose":
+        z0 = jnp.matmul(x, weight, precision=get_precision())
+    else:
+        raise ValueError(f"invalid init parameter {mode!r}.")
+    return z0
+
+
+def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
+                  key=None, **kwargs):
+    """Batched sparse coding: ``min_z 0.5||z W^T - x||^2 + alpha ||z||_1``.
+
+    Dispatch table mirrors reference sparse_encode.py:54-71, plus the
+    ``cd-mod`` entry for the duality-gap coordinate-descent variant that the
+    reference ships but does not dispatch.
+    """
+    from lasso_tpu.linear import solvers
+
+    n_samples = x.shape[0]
+    n_components = weight.shape[1]
+
+    if z0 is not None:
+        assert z0.shape == (n_samples, n_components)
+    else:
+        if init is None:
+            init = _init_defaults.get(algorithm, "zero")
+        elif init == "zero" and algorithm == "iter-ridge":
+            warnings.warn("Iterative Ridge should not be zero-initialized.")
+        z0 = initialize_code(x, weight, alpha, mode=init, key=key)
+
+    if algorithm == "cd":
+        z = solvers.coord_descent(x, weight, z0, alpha, **kwargs)
+    elif algorithm == "cd-mod":
+        z, _ = solvers.coord_descent_mod(x, weight, z0, alpha, **kwargs)
+    elif algorithm == "gpsr":
+        prec = get_precision(kwargs.pop("precision", None))
+        A = lambda v: jnp.matmul(v, weight.T, precision=prec)
+        AT = lambda v: jnp.matmul(v, weight, precision=prec)
+        z = solvers.gpsr_basic(x, A, tau=alpha, AT=AT, x0=z0, **kwargs)
+    elif algorithm == "iter-ridge":
+        z = solvers.iterative_ridge(z0, x, weight, alpha, **kwargs)
+    elif algorithm == "ista":
+        z = solvers.ista(x, z0, weight, alpha, **kwargs)
+    elif algorithm == "interior-point":
+        z, _ = solvers.interior_point(x, weight, z0, alpha, **kwargs)
+    elif algorithm == "split-bregman":
+        z, _ = solvers.split_bregman(weight, x, z0, alpha, **kwargs)
+    elif algorithm == "own":
+        z = solvers.orthant_wise_newton(weight, x, z0, alpha, **kwargs)
+    else:
+        raise ValueError(f"invalid algorithm parameter {algorithm!r}.")
+
+    return z

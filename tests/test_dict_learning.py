@@ -1,0 +1,97 @@
+"""Dictionary-learning tests: ridge update closed form, constrained update
+properties, end-to-end loss decrease, golden parity of update rules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import (dict_learning, lasso_loss, update_dict,
+                              update_dict_ridge)
+
+from _oracles import load_reference
+
+
+def test_update_dict_ridge_closed_form(rng):
+    N, D, K = 40, 12, 8
+    X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    Z = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    lambd = 1e-2
+    V = update_dict_ridge(X, Z, lambd=lambd)
+    M = np.asarray(Z).T @ np.asarray(Z) + lambd * N * np.eye(K)
+    expected = np.linalg.solve(M, np.asarray(Z).T @ np.asarray(X)).T
+    np.testing.assert_allclose(np.asarray(V), expected, atol=1e-3)
+
+
+def test_update_dict_unit_norm_atoms(rng):
+    N, D, K = 30, 10, 14
+    X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    Z = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((D, K)), jnp.float32)
+    W_new, Z_new = update_dict(W, X, Z)
+    norms = np.linalg.norm(np.asarray(W_new), axis=0)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_update_dict_degenerate_atom_rerandomized(rng):
+    # an atom with all-zero coefficients refits to a zero vector -> must be
+    # re-randomized (unit norm) and its coefficients zeroed
+    N, D, K = 20, 8, 6
+    X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    Z_np = rng.standard_normal((N, K)).astype(np.float32)
+    Z_np[:, 2] = 0.0
+    W = jnp.asarray(rng.standard_normal((D, K)), jnp.float32)
+    # make the residual orthogonal trick unnecessary: Z[:,2]=0 means the
+    # refit atom is exactly 0 -> degenerate branch
+    W_new, Z_new = update_dict(W, X, jnp.asarray(Z_np))
+    assert abs(np.linalg.norm(np.asarray(W_new)[:, 2]) - 1.0) < 1e-5
+    assert np.all(np.asarray(Z_new)[:, 2] == 0)
+
+
+def test_update_dict_matches_reference(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    N, D, K = 25, 9, 7
+    X = rng.standard_normal((N, D)).astype(np.float32)
+    Z = rng.standard_normal((N, K)).astype(np.float32)
+    W = rng.standard_normal((D, K)).astype(np.float32)
+
+    W_ref = lasso_ref.linear.update_dict(
+        torch.from_numpy(W.copy()), torch.from_numpy(X),
+        torch.from_numpy(Z.copy()))
+    W_tpu, _ = update_dict(jnp.asarray(W), jnp.asarray(X), jnp.asarray(Z))
+    np.testing.assert_allclose(np.asarray(W_tpu), W_ref.numpy(), atol=1e-3)
+
+    V_ref = lasso_ref.linear.update_dict_ridge(
+        torch.from_numpy(X), torch.from_numpy(Z), lambd=1e-3)
+    V_tpu = update_dict_ridge(jnp.asarray(X), jnp.asarray(Z), lambd=1e-3)
+    np.testing.assert_allclose(np.asarray(V_tpu), V_ref.numpy(), atol=1e-3)
+
+
+@pytest.mark.parametrize("constrained", [True, False])
+def test_dict_learning_loss_decreases(rng, constrained):
+    # structured data: sparse codes against a ground-truth dictionary
+    N, D, K = 64, 10, 16
+    W_true = rng.standard_normal((D, K)).astype(np.float32)
+    W_true /= np.linalg.norm(W_true, axis=0, keepdims=True)
+    Z_true = (rng.standard_normal((N, K)) *
+              (rng.uniform(size=(N, K)) < 0.2)).astype(np.float32)
+    X = jnp.asarray(Z_true @ W_true.T +
+                    0.01 * rng.standard_normal((N, D)).astype(np.float32))
+    W, losses = dict_learning(X, n_components=K, alpha=0.1,
+                              constrained=constrained, steps=12,
+                              maxiter=200, tol=1e-7)
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9
+    assert W.shape == (D, K)
+
+
+def test_dict_learning_persist_runs(rng):
+    X = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    W, losses = dict_learning(X, n_components=12, alpha=0.1, persist=True,
+                              constrained=False, steps=6, maxiter=100)
+    assert np.all(np.isfinite(np.asarray(losses)))
