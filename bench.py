@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched FISTA iterations/s per chip.
+
+Config (BASELINE.md #2 scale-class): N=16384 samples, D=512 features,
+K=2048 atoms, alpha=0.1, fp32-accurate matmuls. The solver runs a fixed
+200 iterations (tol=0 disables early exit) so the number measures
+steady-state solver throughput.
+
+Baseline: the reference (rfeinman/pytorch-lasso) ISTA measured on this
+container's CPU (torch 2.13, fp32, 1 core — no GPU available here):
+0.82 it/s on the same problem (see BASELINE.md).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N, D, K = 16384, 512, 2048
+ALPHA = 0.1
+ITERS = 200
+REFERENCE_ITERS_PER_S = 0.82  # pytorch-lasso ISTA, torch-2.13 CPU (1 core)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from lasso_tpu.linear.solvers import ista
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((D, K)) / np.sqrt(D)).astype(np.float32))
+    z0 = jnp.zeros((N, K), jnp.float32)
+
+    # precompute the Lipschitz step size outside the timed region (the
+    # reference also excludes its eigsh from the per-iteration cost)
+    from lasso_tpu.linalg import lipschitz_constant
+    L = lipschitz_constant(W)
+    lr = float(1.0 / L)
+
+    run = jax.jit(lambda x, z0, W: ista(
+        x, z0, W, ALPHA, lr=lr, maxiter=ITERS, tol=0.0))
+
+    # warmup / compile
+    run(x, z0, W).block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(x, z0, W).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    iters_per_s = ITERS / dt
+
+    print(json.dumps({
+        "metric": "batched FISTA iterations/s per chip (N=16384, 512->2048, fp32)",
+        "value": round(iters_per_s, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

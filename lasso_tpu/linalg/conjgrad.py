@@ -72,17 +72,24 @@ def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
         curv_conv = jnp.logical_and(curv_sum >= 0, curv_sum <= 3 * float_eps)
         curv_neg = curv_sum < 0
 
+        # per-sample inner products can be exactly zero for converged /
+        # fully-masked rows; guard the divisions so a 0/0 in one sample
+        # cannot poison the batch (the torch reference NaNs here)
+        def safe_div(num, den):
+            ok = den != 0
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
         # steepest-descent fallback on first-iteration negative curvature
         # (conjgrad.py:41-45)
-        x_fallback = -rs_old / curv * b
+        x_fallback = -safe_div(rs_old, curv) * b
         x_negcurv = jnp.where(jnp.logical_and(curv_neg, k == 0), x_fallback, x)
 
-        alpha = rs_old / curv
+        alpha = safe_div(rs_old, curv)
         x_new = x + alpha * p
         r_new = r + alpha * Ap
         rs_new = dot(r_new, r_new)
         abs_done = jnp.sqrt(jnp.sum(rs_new)) < tol
-        beta = rs_new / rs_old
+        beta = safe_div(rs_new, rs_old)
         p_new = -r_new + beta * p
 
         # resolve this iteration's outcome in priority order

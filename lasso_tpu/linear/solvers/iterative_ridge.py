@@ -1,0 +1,110 @@
+"""Iterated ridge regression (Fan & Li approximation) for the lasso.
+
+TPU-native rebuild of /root/reference/lasso/linear/solvers/iterative_ridge.py
+(Schmidt 2005 §2.5): approximate ``||z||_1 ~ z^2/|z|`` and solve a sequence
+of ridge subproblems with diagonal weights ``alpha/|z_k|``, freezing
+coordinates that hit zero.
+
+Structural changes vs the reference (math preserved):
+* the scipy bounded-Brent line search shared across the whole batch
+  (iterative_ridge.py:105-113) becomes an in-jit golden-section search over
+  a precomputed residual decomposition, so each trial step costs only
+  elementwise work (no matmuls);
+* the Cholesky path's per-sample masked Gram build + batched solve
+  (:102-103) uses ``jax.linalg`` batched Cholesky with the LU fallback of
+  :func:`lasso_tpu.linalg.batch_cholesky_solve`;
+* NaN aborts (:128-131) fold into the while_loop predicate.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.config import get_precision
+from lasso_tpu.linalg.basic import batch_cholesky_solve
+from lasso_tpu.linalg.conjgrad import conjgrad
+from lasso_tpu.linalg.line_search import golden_section
+
+
+def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
+                    eps=None, maxiter=10, line_search=True, cg=False,
+                    cg_options=None, ls_maxiter=30, precision=None):
+    """Iterated ridge (reference iterative_ridge.py:11-141).
+
+    z0: [B, K] (ridge init recommended), x: [B, D], weight: [D, K].
+    """
+    if tikhonov < 1e-5:
+        warnings.warn("small regularization value %0.4e may lead to "
+                      "imprecise results." % tikhonov)
+    if cg and cg_options is None:
+        cg_options = {}
+    prec = get_precision(precision)
+    if eps is None:
+        eps = float(jnp.finfo(weight.dtype).eps)
+    tol_total = z0.size * tol
+
+    def f(z):
+        x_hat = jnp.matmul(z, weight.T, precision=prec)
+        return 0.5 * jnp.sum(jnp.square(x_hat - x)) + alpha * jnp.sum(jnp.abs(z))
+
+    # rhs of the RSS normal equations and the shared Gram matrix
+    rhs = jnp.matmul(x, weight, precision=prec)          # [B, K]
+    A = jnp.matmul(weight.T, weight, precision=prec)     # [K, K]
+
+    def cond(state):
+        z, fval, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    def body(state):
+        z, fval, k, _ = state
+        zmag = jnp.abs(z)
+        is_zero = zmag < eps
+        diag = jnp.where(is_zero, 0.0, alpha / jnp.where(is_zero, 1.0, zmag))
+        rhs_k = jnp.where(is_zero, 0.0, rhs)
+
+        if cg:
+            def Adot(v):
+                Av = jnp.matmul(jnp.where(is_zero, 0.0, v), A, precision=prec)
+                Av = jnp.where(is_zero, 0.0, Av)
+                return Av + (diag + tikhonov) * v
+            dot = lambda u, v: jnp.sum(u * v, axis=1, keepdims=True)
+            z_sol = conjgrad(rhs_k, Adot, dot, **cg_options)
+        else:
+            mask2 = is_zero[:, :, None] | is_zero[:, None, :]
+            A_k = jnp.where(mask2, 0.0, A[None, :, :])
+            A_k = A_k + jnp.eye(A.shape[0], dtype=A.dtype) * 0.0
+            diag_idx = jnp.arange(A.shape[0])
+            A_k = A_k.at[:, diag_idx, diag_idx].add(diag + tikhonov)
+            z_sol = batch_cholesky_solve(rhs_k, A_k)     # [B, K]
+
+        if line_search:
+            p = z_sol - z
+            # precompute residual decomposition: each trial t is elementwise
+            R0 = jnp.matmul(z, weight.T, precision=prec) - x
+            Rp = jnp.matmul(p, weight.T, precision=prec)
+
+            def line_obj(t):
+                return (0.5 * jnp.sum(jnp.square(R0 + t * Rp))
+                        + alpha * jnp.sum(jnp.abs(z + t * p)))
+
+            t, fval_new = golden_section(line_obj, 0.0, 10.0,
+                                         maxiter=ls_maxiter)
+            update = p * t
+            z_new = jnp.where(is_zero, z, z + update)
+        else:
+            update = z_sol - z
+            z_new = jnp.where(is_zero, z, z_sol)
+            fval_new = f(z_new)
+
+        done = jnp.sum(jnp.abs(update)) <= tol_total
+        nan_abort = jnp.logical_or(jnp.isnan(fval_new),
+                                   jnp.any(jnp.isnan(update)))
+        return (z_new, fval_new, k + 1, jnp.logical_or(done, nan_abort))
+
+    init = (z0, f(z0), jnp.asarray(0), jnp.asarray(False))
+    z, _, _, _ = lax.while_loop(cond, body, init)
+    return z

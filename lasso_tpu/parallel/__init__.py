@@ -1,0 +1,8 @@
+from lasso_tpu.parallel.api import (data_parallel_encode, make_train_step)
+from lasso_tpu.parallel.mesh import (code_sharding, data_sharding, make_mesh,
+                                     replicated, weight_sharding)
+
+__all__ = [
+    "make_mesh", "data_sharding", "code_sharding", "weight_sharding",
+    "replicated", "data_parallel_encode", "make_train_step",
+]

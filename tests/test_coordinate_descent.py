@@ -1,0 +1,100 @@
+"""Coordinate-descent solvers: duality-gap certificates, cross-solver
+consistency with FISTA, golden parity vs the reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import sparse_encode
+from lasso_tpu.linear.solvers import coord_descent, coord_descent_mod
+
+from _oracles import duality_gap, lasso_objective, load_reference
+
+
+def make_problem(rng, n=16, d=12, k=20, alpha=0.3):
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(W), alpha
+
+
+def test_cd_mod_duality_gap_certificate(rng):
+    x, W, alpha = make_problem(rng)
+    z, gap = coord_descent_mod(x, W, alpha=alpha, max_iter=2000, tol=1e-8)
+    assert float(jnp.max(gap)) < 1e-4
+    # recomputed in f32 numpy -> allow float noise above the solver's gap
+    assert duality_gap(x, W, z, alpha) < 5e-4
+
+
+def test_cd_mod_matches_fista_objective(rng):
+    x, W, alpha = make_problem(rng)
+    z_cd, _ = coord_descent_mod(x, W, alpha=alpha, max_iter=2000, tol=1e-9)
+    z_ista = sparse_encode(x, W, alpha, algorithm="ista", maxiter=5000,
+                           tol=1e-10)
+    f_cd = lasso_objective(x, W, z_cd, alpha)
+    f_ista = lasso_objective(x, W, z_ista, alpha)
+    assert abs(f_cd - f_ista) < 1e-3 * max(1.0, abs(f_cd))
+
+
+def test_greedy_cd_reduces_objective_vs_zero(rng):
+    x, W, alpha = make_problem(rng)
+    z = coord_descent(x, W, alpha=alpha, maxiter=3000, tol=1e-9)
+    f = lasso_objective(x, W, z, alpha)
+    f0 = lasso_objective(x, W, np.zeros_like(np.asarray(z)), alpha)
+    assert f < f0
+    # greedy CD should get close to the FISTA optimum on well-conditioned
+    # problems (the reference warns it "may have bugs"; ours should be sane)
+    z_ista = sparse_encode(x, W, alpha, algorithm="ista", maxiter=5000,
+                           tol=1e-10)
+    f_ista = lasso_objective(x, W, z_ista, alpha)
+    assert f <= f_ista * 1.05 + 1e-3
+
+
+def test_greedy_cd_golden_parity(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    x_np = rng.standard_normal((8, 10)).astype(np.float32)
+    W_np = rng.standard_normal((10, 16)).astype(np.float32)
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.3
+
+    z_ref = lasso_ref.linear.solvers.coord_descent(
+        torch.from_numpy(x_np), torch.from_numpy(W_np), alpha=alpha,
+        maxiter=500, tol=1e-8)
+    z_tpu = coord_descent(jnp.asarray(x_np), jnp.asarray(W_np), alpha=alpha,
+                          maxiter=500, tol=1e-8)
+    # trajectories are identical modulo float noise: compare elementwise
+    np.testing.assert_allclose(np.asarray(z_tpu), z_ref.numpy(), atol=1e-3)
+
+
+def test_cd_mod_golden_parity(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    # the reference's z0 default has a shape bug (cd.py:73 uses n_features
+    # where n_samples is meant) and crashes whenever N != D, so the parity
+    # check must use a square batch
+    x_np = rng.standard_normal((8, 8)).astype(np.float32)
+    W_np = rng.standard_normal((8, 12)).astype(np.float32)
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+
+    z_ref, gap_ref = lasso_ref.linear.solvers.coord_descent_mod(
+        torch.from_numpy(x_np), torch.from_numpy(W_np), alpha=alpha,
+        max_iter=300, tol=1e-6)
+    z_tpu, gap_tpu = coord_descent_mod(
+        jnp.asarray(x_np), jnp.asarray(W_np), alpha=alpha,
+        max_iter=300, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(z_tpu), z_ref.numpy(), atol=1e-3)
+
+
+def test_cd_dispatch_via_sparse_encode(rng):
+    x, W, alpha = make_problem(rng, n=6, d=8, k=10)
+    z1 = sparse_encode(x, W, alpha, algorithm="cd", maxiter=200)
+    z2 = sparse_encode(x, W, alpha, algorithm="cd-mod", max_iter=200)
+    assert z1.shape == z2.shape == (6, 10)

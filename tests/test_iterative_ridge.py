@@ -1,0 +1,66 @@
+"""Iterative ridge: objective agreement with FISTA, CG path, golden parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import sparse_encode
+
+from _oracles import lasso_objective, load_reference
+
+
+def make_problem(rng, n=10, d=12, k=8, alpha=0.2):
+    # iterative ridge shines on well-determined problems (K <= D)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(W), alpha
+
+
+def test_iter_ridge_matches_fista(rng):
+    x, W, alpha = make_problem(rng)
+    z_ir = sparse_encode(x, W, alpha, algorithm="iter-ridge", maxiter=50,
+                         tol=1e-8)
+    z_ista = sparse_encode(x, W, alpha, algorithm="ista", maxiter=5000,
+                           tol=1e-10)
+    f_ir = lasso_objective(x, W, z_ir, alpha)
+    f_i = lasso_objective(x, W, z_ista, alpha)
+    assert abs(f_ir - f_i) < 1e-2 * max(1.0, abs(f_i))
+
+
+def test_iter_ridge_cg_path(rng):
+    x, W, alpha = make_problem(rng)
+    z_chol = sparse_encode(x, W, alpha, algorithm="iter-ridge", maxiter=30)
+    z_cg = sparse_encode(x, W, alpha, algorithm="iter-ridge", maxiter=30,
+                         cg=True, cg_options={"maxiter": 100, "rtol": 1e-6})
+    f_chol = lasso_objective(x, W, z_chol, alpha)
+    f_cg = lasso_objective(x, W, z_cg, alpha)
+    assert abs(f_chol - f_cg) < 2e-2 * max(1.0, abs(f_chol))
+
+
+def test_iter_ridge_no_line_search(rng):
+    x, W, alpha = make_problem(rng)
+    z = sparse_encode(x, W, alpha, algorithm="iter-ridge", maxiter=30,
+                      line_search=False)
+    assert np.isfinite(lasso_objective(x, W, z, alpha))
+
+
+def test_iter_ridge_golden_parity(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    x_np = rng.standard_normal((6, 10)).astype(np.float32)
+    W_np = rng.standard_normal((10, 8)).astype(np.float32)
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+
+    z_ref = lasso_ref.linear.sparse_encode(
+        torch.from_numpy(x_np), torch.from_numpy(W_np), alpha=alpha,
+        algorithm="iter-ridge", maxiter=50, tol=1e-8)
+    z_tpu = sparse_encode(jnp.asarray(x_np), jnp.asarray(W_np), alpha,
+                          algorithm="iter-ridge", maxiter=50, tol=1e-8)
+    f_ref = lasso_objective(x_np, W_np, z_ref.numpy(), alpha)
+    f_tpu = lasso_objective(x_np, W_np, z_tpu, alpha)
+    assert abs(f_tpu - f_ref) <= 1e-3 * max(1.0, abs(f_ref))
