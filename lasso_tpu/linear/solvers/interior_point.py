@@ -1,0 +1,124 @@
+"""Primal-dual log-barrier interior point (basis pursuit denoising).
+
+TPU-native rebuild of /root/reference/lasso/linear/solvers/interior_point.py
+(Chen et al. 2001 via Schmidt 2005 §2.3): positive/negative variable split
+``z = [z+, z-]``, Sardy-style initialization from the ridge estimate, Newton
+steps on the perturbed KKT system via per-sample normal-equations Cholesky,
+fraction-to-boundary step sizes, and a per-sample barrier parameter.
+
+Structural changes vs the reference (math preserved):
+* the Newton loop with per-iteration host syncs (ip.py:151-219) is one
+  ``lax.while_loop`` whose mean-feasibility/gap stopping test runs on
+  device;
+* the batched KKT matrix build ``M = W diag(d) W^T + I`` (ip.py:171-172)
+  is a single einsum into ``[B, D, D]`` followed by the batched Cholesky
+  solve (LU fallback in-graph);
+* the feasibility asserts of the initializer (ip.py:65-67) cannot raise
+  inside jit; the initialization guarantees them mathematically for
+  ``alpha > 0`` (s = alpha - lambda W_pn with |lambda W| < alpha by
+  construction).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.config import get_precision
+from lasso_tpu.linalg.basic import batch_cholesky_solve, ridge
+
+_INF = float("inf")
+
+
+def _general_inverse(x, eps=1e-5):
+    """Reciprocal with small values zeroed (reference ip.py:32-35)."""
+    small = jnp.abs(x) < eps
+    return jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, x))
+
+
+def _initialize_params(z0, weight, alpha, prec):
+    """Sardy et al. (2000) §2.3 initialization (reference ip.py:38-69)."""
+    z0_pn = jnp.concatenate([jnp.maximum(z0, 0.0), jnp.maximum(-z0, 0.0)], 1)
+    weight_pn = jnp.concatenate([weight, -weight], 1)          # [D, 2K]
+
+    z = z0_pn + 0.1
+
+    y = jnp.matmul(jnp.sign(z0_pn), weight_pn.T, precision=prec)  # [B, D]
+    omega = 1.1 * jnp.max(
+        jnp.abs(jnp.matmul(y, weight, precision=prec)), axis=1, keepdims=True)
+    lmbda = alpha * y / jnp.maximum(omega, 1e-30)              # [B, D]
+    s = alpha - jnp.matmul(lmbda, weight_pn, precision=prec)   # [B, 2K]
+    return z, lmbda, s, weight_pn
+
+
+def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
+                   barrier_init=0.1, tol=1e-2, eps=1e-5, precision=None,
+                   return_iters=False):
+    """Interior-point lasso solver (reference ip.py:93-224).
+
+    x: [B, D], weight: [D, K] -> (z: [B, K], success: bool scalar).
+    """
+    prec = get_precision(precision)
+    batch_size, input_size = x.shape
+    assert weight.ndim == 2 and weight.shape[0] == input_size
+    if z0 is None:
+        z0 = ridge(x.T, weight, alpha=alpha).T
+
+    mu0 = barrier_init * jnp.ones((batch_size, 1), x.dtype)
+    z_init, lmbda_init, s_init, W = _initialize_params(z0, weight, alpha, prec)
+    eye = jnp.eye(input_size, dtype=x.dtype)
+
+    def body(state):
+        z, lmbda, s, mu, k, _, _ = state
+
+        # KKT residuals (ip.py:157-159)
+        ra = -jnp.matmul(lmbda, W, precision=prec) - s + alpha   # [B, 2K]
+        rb = x - jnp.matmul(z, W.T, precision=prec) - lmbda      # [B, D]
+        rc = mu - z * s                                          # [B, 2K]
+
+        # Newton directions (ip.py:165-179)
+        s_inv = _general_inverse(s, eps)
+        d = s_inv * z                                            # [B, 2K]
+        rhs = s_inv * rc - d * ra
+        rhs = rb - jnp.matmul(rhs, W.T, precision=prec)          # [B, D]
+        # M = W diag(d) W^T + I per sample: [B, D, D]
+        M = jnp.einsum("dk,bk,ek->bde", W, d, W,
+                       precision=prec, optimize=True) + eye
+        d_lmbda = batch_cholesky_solve(rhs, M)                   # [B, D]
+        d_s = ra - jnp.matmul(d_lmbda, W, precision=prec)
+        d_z = s_inv * (rc - z * d_s)
+
+        # fraction-to-boundary step sizes (ip.py:186-198)
+        beta_z = jnp.min(jnp.where(d_z >= 0, _INF, -z / d_z), 1, keepdims=True)
+        beta_sl = jnp.min(jnp.where(d_s >= 0, _INF, -s / d_s), 1, keepdims=True)
+        beta_z = jnp.clip(beta_z, None, 1.0)
+        beta_sl = jnp.clip(beta_sl, None, 1.0)
+
+        z_new = jnp.maximum(z + 0.99 * beta_z * d_z, 0.0)
+        lmbda_new = lmbda + 0.99 * beta_sl * d_lmbda
+        s_new = jnp.maximum(s + 0.99 * beta_sl * d_s, 0.0)
+        mu_new = mu * (1 - jnp.clip(jnp.minimum(beta_z, beta_sl), None, 0.99))
+
+        # mean-over-batch stopping criteria (ip.py:210-219)
+        z_norm = jnp.linalg.norm(z_new, axis=1)
+        l_norm = jnp.linalg.norm(lmbda_new, axis=1)
+        prim_feas = jnp.mean(jnp.linalg.norm(rb, axis=1) / (1 + z_norm))
+        dual_feas = jnp.mean(jnp.linalg.norm(ra, axis=1) / (1 + l_norm))
+        gap = jnp.mean(jnp.sum(z_new * s_new, axis=1) / (1 + z_norm * l_norm))
+        success = (prim_feas < tol) & (dual_feas < tol) & (gap < tol)
+
+        return (z_new, lmbda_new, s_new, mu_new, k + 1, success, success)
+
+    def cond(state):
+        _, _, _, _, k, _, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    init = (z_init, lmbda_init, s_init, mu0, jnp.asarray(0),
+            jnp.asarray(False), jnp.asarray(False))
+    z, _, _, _, k, success, _ = lax.while_loop(cond, body, init)
+
+    z_pos, z_neg = jnp.split(z, 2, axis=1)
+    zf = z_pos - z_neg
+    if return_iters:
+        return zf, success, k
+    return zf, success

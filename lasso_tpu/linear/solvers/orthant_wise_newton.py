@@ -1,0 +1,119 @@
+"""Orthant-wise Newton with the exact RSS Hessian inverse.
+
+TPU-native rebuild of
+/root/reference/lasso/linear/solvers/orthant_wise_newton.py: OWL-QN
+specialized to the linear case, where the inverse Hessian
+``(W^T W + 1e-4 I)^{-1}`` is precomputed exactly. Orthant projection zeroes
+sign-inconsistent coordinates; the pseudo-gradient selects the steeper
+one-sided subgradient at zeros.
+
+The scipy bounded-Brent line search (own.py:114-123) becomes an in-jit
+golden-section search; because the orthant projection makes the objective
+piecewise in t, each trial costs one matmul (unlike iterative ridge, there
+is no linear residual decomposition).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.config import get_precision
+from lasso_tpu.linalg.basic import cholesky_inverse
+from lasso_tpu.linalg.line_search import golden_section
+
+
+def project(u, v):
+    """Zero entries of u whose sign disagrees with v (own.py:6-7)."""
+    return jnp.where(jnp.sign(u) != jnp.sign(v), 0.0, u)
+
+
+def pseudo_grad(z, grad_f, alpha):
+    """Orthant-wise pseudo-gradient (own.py:10-17)."""
+    grad_r = alpha * jnp.sign(z)
+    at_zero = z == 0
+    grad_right = grad_f + jnp.where(at_zero, alpha, grad_r)
+    grad_left = grad_f + jnp.where(at_zero, -alpha, grad_r)
+    pgrad = jnp.zeros_like(z)
+    pgrad = jnp.where(grad_right < 0, grad_right, pgrad)
+    pgrad = jnp.where(grad_left > 0, grad_left, pgrad)
+    return pgrad
+
+
+def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
+                        xtol=1e-5, line_search="brent", ls_options=None,
+                        ls_maxiter=30, precision=None):
+    """Orthant-wise Newton (reference own.py:32-160).
+
+    weight: [D, K], x: [B, D], z0: [B, K] -> z: [B, K]
+    """
+    prec = get_precision(precision)
+    assert z0.ndim == 2
+    if ls_options is None:
+        ls_options = {}
+    if line_search not in ("brent", "backtrack", "none"):
+        raise ValueError(
+            "line_search must be one of {'brent', 'backtrack', 'none'}.")
+    ls_tol = ls_options.get("tol", 0.1)
+    ls_decay = ls_options.get("decay", 0.95)
+    ls_bt_maxiter = ls_options.get("maxiter", 500)
+
+    def evaluate(z):
+        resid = jnp.matmul(z, weight.T, precision=prec) - x
+        f = 0.5 * jnp.sum(jnp.square(resid)) + alpha * jnp.sum(jnp.abs(z))
+        grad = jnp.matmul(resid, weight, precision=prec)
+        return f, grad, pseudo_grad(z, grad, alpha)
+
+    hess = jnp.matmul(weight.T, weight, precision=prec)
+    hess = hess + 1e-4 * jnp.eye(hess.shape[0], dtype=hess.dtype)
+    hess_inv = cholesky_inverse(hess)
+
+    f0, g0, gp0 = evaluate(z0)
+
+    def body(state):
+        z, f, g, g_pseudo, k, _ = state
+        v = -g_pseudo
+        d = jnp.matmul(v, hess_inv.T, precision=prec)
+        d = project(d, v)
+        eta = jnp.where(z == 0, jnp.sign(v), jnp.sign(z))
+
+        def f_at(t):
+            z_new = project(z + t * d, eta)
+            resid = jnp.matmul(z_new, weight.T, precision=prec) - x
+            return 0.5 * jnp.sum(jnp.square(resid)) \
+                + alpha * jnp.sum(jnp.abs(z_new))
+
+        if line_search == "brent":
+            t, _ = golden_section(f_at, 0.0, 10.0, maxiter=ls_maxiter)
+        elif line_search == "backtrack":
+            def bt_cond(s):
+                t, j, done = s
+                return jnp.logical_and(jnp.logical_not(done),
+                                       j < ls_bt_maxiter)
+
+            def bt_body(s):
+                t, j, _ = s
+                z_new = project(z + t * d, eta)
+                f_new = f_at(t)
+                ok = f_new <= f - ls_tol * jnp.sum(v * (z_new - z))
+                return (jnp.where(ok, t, t * ls_decay), j + 1, ok)
+
+            t, _, _ = lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.asarray(lr, z.dtype), 0, jnp.asarray(False)))
+        else:
+            t = jnp.asarray(lr, z.dtype)
+
+        z_new = project(z + t * d, eta)
+        delta = jnp.linalg.norm((z_new - z).ravel())
+        f_new, g_new, gp_new = evaluate(z_new)
+        done = delta <= xtol
+        return (z_new, f_new, g_new, gp_new, k + 1, done)
+
+    def cond(state):
+        _, _, _, _, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    init = (z0, f0, g0, gp0, jnp.asarray(0), jnp.asarray(False))
+    z, _, _, _, _, _ = lax.while_loop(cond, body, init)
+    return z
