@@ -1,0 +1,63 @@
+"""Convolutional FISTA: sparse coding with a conv_transpose decoder.
+
+TPU-native rebuild of /root/reference/lasso/conv2d/ista.py: the decoder is
+``x_hat = conv_transpose2d(z, W)`` and the RSS gradient is
+``conv2d(x_hat - x, W)``; the automatic step size uses the Araujo Toeplitz
+bound (stride=1 only, like the reference). The Python loop with host-synced
+convergence (conv2d/ista.py:36-47) becomes one ``lax.while_loop``.
+
+z: [N, C_z, H_z, W_z], weight: [C_z, C_x, kh, kw], x: [N, C_x, H, W]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.conv2d.lip_const import lip_bound_conv2d
+from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
+from lasso_tpu.ops.shrink import soft_threshold
+
+
+def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
+                maxiter=10, lr="auto", tol=1e-5, return_iters=False):
+    """Conv FISTA (reference conv2d/ista.py:7-48)."""
+    if isinstance(lr, str):
+        if lr != "auto":
+            raise ValueError(f"invalid lr {lr!r}")
+        if stride != 1:
+            raise NotImplementedError(
+                "auto lr is only implemented for stride == 1.")
+        L = lip_bound_conv2d(weight, padding)
+        lr = 1.0 / L
+    lr = jnp.asarray(lr, x.dtype)
+    tol_total = z0.size * tol
+
+    def rss_grad(zk):
+        x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
+        return conv2d(x_hat - x, weight, stride=stride, padding=padding)
+
+    def step(zk):
+        return soft_threshold(zk - lr * rss_grad(zk), alpha * lr)
+
+    def cond(state):
+        _, _, _, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    def body(state):
+        z, y, t, k, _ = state
+        z_next = step(y) if fast else step(z)
+        if fast:
+            t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            y_next = z_next + ((t - 1) / t_next) * (z_next - z)
+        else:
+            t_next, y_next = t, z_next
+        done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
+        return (z_next, y_next, t_next, k + 1, done)
+
+    init = (z0, z0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
+            jnp.asarray(False))
+    z, _, _, k, _ = lax.while_loop(cond, body, init)
+    if return_iters:
+        return z, k
+    return z

@@ -1,0 +1,105 @@
+"""Iterative-ridge with per-sample dense BFGS Hessian approximations.
+
+TPU-native rebuild of /root/reference/lasso/nonlinear/iterative_ridge_bfgs.py:
+each sample carries a full [K, K] BFGS approximation of the smooth term's
+Hessian, combined with the iterative-ridge diagonal ``alpha/|x|`` and a
+batched Cholesky solve for the step direction. The reference's batched
+rank-2 update with validity masking (irb.py:16-42) maps directly onto
+einsum/batched matmuls; its scipy bounded line search becomes an in-jit
+golden-section search.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.linalg.basic import batch_cholesky_solve
+from lasso_tpu.linalg.line_search import golden_section
+
+
+def _bfgs_update(B, x, g, x_prev, g_prev, first):
+    """Batched BFGS rank-2 update with per-sample validity masking
+    (reference irb.py:16-42). B: [B, K, K]."""
+    s = (x - x_prev)[:, :, None]                    # [B, K, 1]
+    y = (g - g_prev)[:, :, None]
+    rho_inv = jnp.einsum("bki,bkj->bij", y, s)      # [B, 1, 1]
+    valid = jnp.abs(rho_inv) > 1e-10
+    rho = jnp.where(valid, 1.0 / jnp.where(valid, rho_inv, 1.0), 1000.0)
+
+    yty = jnp.einsum("bki,bkj->bij", y, y)          # [B, 1, 1]
+    B = jnp.where(first, B * (rho * yty), B)
+
+    Bs = jnp.matmul(B, s)                           # [B, K, 1]
+    sBs = jnp.einsum("bki,bkj->bij", s, Bs)         # [B, 1, 1]
+    B_new = B + rho * jnp.matmul(y, jnp.swapaxes(y, 1, 2)) \
+        - jnp.matmul(Bs, jnp.swapaxes(Bs, 1, 2)) \
+        / jnp.where(sBs == 0, 1.0, sBs)
+    return jnp.where(valid, B_new, B)
+
+
+def iterative_ridge_bfgs(f, x0, alpha=1.0, lr=1.0, xtol=1e-5, tikhonov=1e-4,
+                         eps=None, line_search=True, maxiter=None,
+                         ls_maxiter=30, return_iters=False):
+    """Nonlinear iterative ridge with BFGS (reference irb.py:45-140).
+
+    f: traceable ``x -> scalar`` smooth loss; x0: [B, K].
+    """
+    assert x0.ndim == 2
+    if maxiter is None:
+        maxiter = x0.shape[1] * 5
+    if eps is None:
+        eps = float(jnp.finfo(x0.dtype).eps)
+    K = x0.shape[1]
+    diag_idx = jnp.arange(K)
+
+    grad_fun = jax.grad(f)
+
+    def evaluate(x):
+        fval = f(x) + alpha * jnp.sum(jnp.abs(x))
+        return fval, grad_fun(x)
+
+    f0, g0 = evaluate(x0)
+    t0 = jnp.clip(lr / (jnp.sum(jnp.abs(g0)) + 1e-30), None, lr)
+    B0 = jnp.eye(K, dtype=x0.dtype)[None].repeat(x0.shape[0], axis=0)
+
+    def body(state):
+        x, fval, grad, B, t_init, x_prev, g_prev, k, _ = state
+        xmag = jnp.abs(x)
+        is_zero = xmag < eps
+        diag = jnp.where(is_zero, 0.0, alpha / jnp.where(is_zero, 1.0, xmag))
+        rhs = jnp.where(is_zero, 0.0, grad + diag * x)
+
+        mask2 = is_zero[:, :, None] | is_zero[:, None, :]
+        Bk = jnp.where(mask2, 0.0, B)
+        Bk = Bk.at[:, diag_idx, diag_idx].add(diag + tikhonov)
+        d = batch_cholesky_solve(rhs, Bk)
+
+        if line_search:
+            def line_obj(tt):
+                x_new = x - tt * d
+                return f(x_new) + alpha * jnp.sum(jnp.abs(x_new))
+            t, _ = golden_section(line_obj, 0.0, 10.0, maxiter=ls_maxiter)
+        else:
+            t = t_init
+
+        x_new = jnp.where(is_zero, x, x - t * d)
+        delta = jnp.linalg.norm((x_new - x).ravel())
+        f_new, g_new = evaluate(x_new)
+        done = jnp.logical_or(delta <= xtol,
+                              jnp.logical_not(jnp.isfinite(f_new)))
+
+        B_new = _bfgs_update(B, x_new, g_new, x, grad, first=(k == 0))
+        t_next = jnp.asarray(lr, x.dtype)
+        return (x_new, f_new, g_new, B_new, t_next, x, grad, k + 1, done)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    init = (x0, f0, g0, B0, t0, x0, g0, jnp.asarray(0), jnp.asarray(False))
+    x, _, _, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    if return_iters:
+        return x, k
+    return x

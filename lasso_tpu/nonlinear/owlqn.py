@@ -1,0 +1,200 @@
+"""OWL-QN: orthant-wise limited-memory quasi-Newton for nonlinear lasso.
+
+TPU-native rebuild of /root/reference/lasso/nonlinear/owlqn.py. The
+reference's ``L_BFGS`` object keeps Python lists of (s, y, rho) pairs
+(owlqn.py:7-51); under XLA the memory is a fixed-size circular buffer of
+``[history, numel]`` arrays, the two-loop recursion is a pair of
+``fori_loop``s masked on the fill count, and curvature-rejected updates
+(owlqn.py:38-40) simply skip the buffer write. The whole optimizer is one
+``lax.while_loop`` over a pure carried state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lasso_tpu.linalg.line_search import golden_section
+
+
+def project(x, y):
+    """Zero entries of x whose sign disagrees with y (owlqn.py:54-55)."""
+    return jnp.where(jnp.sign(x) != jnp.sign(y), 0.0, x)
+
+
+def pseudo_grad(x, grad_f, alpha):
+    """Orthant-wise pseudo-gradient (owlqn.py:58-65)."""
+    grad_r = alpha * jnp.sign(x)
+    at_zero = x == 0
+    grad_right = grad_f + jnp.where(at_zero, alpha, grad_r)
+    grad_left = grad_f + jnp.where(at_zero, -alpha, grad_r)
+    pgrad = jnp.zeros_like(x)
+    pgrad = jnp.where(grad_right < 0, grad_right, pgrad)
+    pgrad = jnp.where(grad_left > 0, grad_left, pgrad)
+    return pgrad
+
+
+class LbfgsState(NamedTuple):
+    s_hist: jnp.ndarray    # [m, n]
+    y_hist: jnp.ndarray    # [m, n]
+    rho: jnp.ndarray       # [m]
+    h_diag: jnp.ndarray    # scalar
+    head: jnp.ndarray      # next write slot
+    count: jnp.ndarray     # number of valid entries
+    x_prev: jnp.ndarray    # [n]
+    g_prev: jnp.ndarray    # [n]
+
+
+def lbfgs_init(x, g, history_size):
+    n = x.size
+    return LbfgsState(
+        s_hist=jnp.zeros((history_size, n), x.dtype),
+        y_hist=jnp.zeros((history_size, n), x.dtype),
+        rho=jnp.zeros((history_size,), x.dtype),
+        h_diag=jnp.asarray(1.0, x.dtype),
+        head=jnp.asarray(0),
+        count=jnp.asarray(0),
+        x_prev=x.ravel(),
+        g_prev=g.ravel(),
+    )
+
+
+def lbfgs_solve(state, d):
+    """Two-loop recursion (owlqn.py:20-32) over the circular buffer."""
+    m = state.s_hist.shape[0]
+    shape = d.shape
+    q = d.ravel()
+
+    def slot(i):
+        # i-th newest entry: i=0 is the most recent
+        return (state.head - 1 - i) % m
+
+    def bwd(i, carry):
+        q, alphas = carry
+        idx = slot(i)
+        valid = i < state.count
+        a = jnp.where(valid, state.rho[idx] * jnp.dot(state.s_hist[idx], q),
+                      0.0)
+        q = q - a * state.y_hist[idx]
+        return (q, alphas.at[idx].set(a))
+
+    q, alphas = lax.fori_loop(0, m, bwd, (q, jnp.zeros((m,), q.dtype)))
+    q = q * state.h_diag
+
+    def fwd(j, q):
+        # oldest to newest: j=0 is the oldest valid entry
+        i = state.count - 1 - j          # newest-index of this entry
+        idx = slot(i)
+        valid = j < state.count
+        b = jnp.where(valid, state.rho[idx] * jnp.dot(state.y_hist[idx], q),
+                      0.0)
+        return q + jnp.where(valid, alphas[idx] - b, 0.0) * state.s_hist[idx]
+
+    q = lax.fori_loop(0, m, fwd, q)
+    return q.reshape(shape)
+
+
+def lbfgs_update(state, x, g):
+    """Curvature-guarded memory update (owlqn.py:34-51)."""
+    s = x.ravel() - state.x_prev
+    y = g.ravel() - state.g_prev
+    rho_inv = jnp.dot(y, s)
+    ok = rho_inv > 1e-10
+
+    head = state.head
+    s_hist = jnp.where(ok, state.s_hist.at[head].set(s), state.s_hist)
+    y_hist = jnp.where(ok, state.y_hist.at[head].set(y), state.y_hist)
+    rho = jnp.where(ok, state.rho.at[head].set(
+        1.0 / jnp.where(ok, rho_inv, 1.0)), state.rho)
+    m = state.s_hist.shape[0]
+    return LbfgsState(
+        s_hist=s_hist,
+        y_hist=y_hist,
+        rho=rho,
+        h_diag=jnp.where(ok, rho_inv / (jnp.dot(y, y) + 1e-30), state.h_diag),
+        head=jnp.where(ok, (head + 1) % m, head),
+        count=jnp.where(ok, jnp.minimum(state.count + 1, m), state.count),
+        x_prev=jnp.where(ok, x.ravel(), state.x_prev),
+        g_prev=jnp.where(ok, g.ravel(), state.g_prev),
+    )
+
+
+def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
+          history_size=100, line_search="brent", ls_options=None,
+          ls_maxiter=30, return_iters=False):
+    """OWL-QN (reference owlqn.py:80-198).
+
+    fun: traceable ``x -> scalar`` smooth loss (the l1 term is added here
+    and excluded from gradients, as in the reference).
+    """
+    assert x0.ndim == 2
+    if ls_options is None:
+        ls_options = {}
+    if line_search not in ("brent", "backtrack", "none"):
+        raise ValueError("invalid line_search")
+    ls_tol = ls_options.get("tol", 0.1)
+    ls_decay = ls_options.get("decay", 0.95)
+    ls_bt_maxiter = ls_options.get("maxiter", 500)
+
+    grad_fun = jax.grad(fun)
+
+    def evaluate(x):
+        f = fun(x) + alpha * jnp.sum(jnp.abs(x))
+        g = grad_fun(x)
+        return f, g, pseudo_grad(x, g, alpha)
+
+    f0, g0, gp0 = evaluate(x0)
+    lb0 = lbfgs_init(x0, g0, history_size)
+    t0 = jnp.clip(lr / (jnp.sum(jnp.abs(gp0)) + 1e-30), None, lr)
+
+    def body(state):
+        x, f, g, g_pseudo, lb, t_init, k, _ = state
+        v = -g_pseudo
+        d = lbfgs_solve(lb, v)
+        d = project(d, v)
+        eta = jnp.where(x == 0, jnp.sign(v), jnp.sign(x))
+
+        def f_at(t):
+            x_new = project(x + t * d, eta)
+            return fun(x_new) + alpha * jnp.sum(jnp.abs(x_new))
+
+        if line_search == "brent":
+            t, _ = golden_section(f_at, 0.0, 10.0, maxiter=ls_maxiter)
+        elif line_search == "backtrack":
+            def bt_cond(s):
+                t, j, done = s
+                return jnp.logical_and(jnp.logical_not(done),
+                                       j < ls_bt_maxiter)
+
+            def bt_body(s):
+                t, j, _ = s
+                x_new = project(x + t * d, eta)
+                ok = f_at(t) <= f - ls_tol * jnp.sum(v * (x_new - x))
+                return (jnp.where(ok, t, t * ls_decay), j + 1, ok)
+
+            t, _, _ = lax.while_loop(bt_cond, bt_body,
+                                     (t_init, 0, jnp.asarray(False)))
+        else:
+            t = t_init
+
+        x_new = project(x + t * d, eta)
+        delta = jnp.linalg.norm((x_new - x).ravel())
+        f_new, g_new, gp_new = evaluate(x_new)
+        done = delta <= xtol
+        # hessian update skipped once converged (reference breaks first)
+        lb_new = lbfgs_update(lb, x_new, g_new)
+        t_next = jnp.asarray(lr, x.dtype)
+        return (x_new, f_new, g_new, gp_new, lb_new, t_next, k + 1, done)
+
+    def cond(state):
+        _, _, _, _, _, _, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < max_iter)
+
+    init = (x0, f0, g0, gp0, lb0, t0, jnp.asarray(0), jnp.asarray(False))
+    x, _, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    if return_iters:
+        return x, k
+    return x
