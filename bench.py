@@ -45,6 +45,8 @@ def main():
     L = lipschitz_constant(W)
     lr = float(1.0 / L)
 
+    # the default path: Pallas-fused FISTA step (f32-grade split-float
+    # matmuls) on TPU, plain XLA elsewhere
     run = jax.jit(lambda x, z0, W: ista(
         x, z0, W, ALPHA, lr=lr, maxiter=ITERS, tol=0.0))
 

@@ -73,16 +73,25 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
 
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=100,
-         power_iters=500, precision=None, return_iters=False):
+         power_iters=500, precision=None, use_pallas="auto",
+         kernel_precision="f32", return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
     the top eigenvalue of ``W^T W`` computed on device. Static arguments
     (``fast``, ``backtrack``, ``maxiter``) select the compiled program.
 
+    ``use_pallas``: 'auto' fuses the whole step (two matmuls + shrink +
+    momentum + convergence sum) into one Pallas MXU kernel on TPU backends
+    when shapes are lane-aligned; True forces it (interpreted off-TPU);
+    False always uses the plain XLA step.
+
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
     """
+    from lasso_tpu.ops.fused_ista import (fused_fista_step,
+                                          supports_fused_step)
+
     prec = get_precision(precision)
     if isinstance(lr, str):
         if lr != "auto":
@@ -91,6 +100,16 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         lr = 1.0 / L
     lr = jnp.asarray(lr, x.dtype)
     tol_total = z0.size * tol
+
+    if use_pallas == "auto":
+        fused = (jax.default_backend() == "tpu" and not backtrack
+                 and supports_fused_step(x, z0, weight))
+        interpret = False
+    elif use_pallas:
+        fused = not backtrack and supports_fused_step(x, z0, weight)
+        interpret = jax.default_backend() != "tpu"
+    else:
+        fused, interpret = False, False
 
     def rss_grad(z_k):
         resid = jnp.matmul(z_k, weight.T, precision=prec) - x
@@ -110,14 +129,22 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     def body(state):
         z, y, t, k, _ = state
-        z_prev = y if fast else z
-        z_next = step(z_prev)
-        done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            y_next = z_next + ((t - 1) / t_next) * (z_next - z)
+            mom = (t - 1) / t_next
         else:
-            t_next, y_next = t, z_next
+            t_next = t
+            mom = jnp.asarray(0.0, x.dtype)
+        if fused:
+            z_next, y_next, delta = fused_fista_step(
+                x, y if fast else z, z, weight, lr, alpha, mom,
+                interpret=interpret, kernel_precision=kernel_precision)
+            done = delta <= tol_total
+        else:
+            z_prev = y if fast else z
+            z_next = step(z_prev)
+            done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
+            y_next = z_next + mom * (z_next - z) if fast else z_next
         return (z_next, y_next, t_next, k + 1, done)
 
     t0 = jnp.asarray(1.0, x.dtype)

@@ -1,0 +1,70 @@
+"""Fused Pallas FISTA step: interpreter-mode equivalence with the jnp twin
+and with the unfused solver path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear.solvers import ista
+from lasso_tpu.ops.fused_ista import (fista_step_reference, fused_fista_step,
+                                      supports_fused_step)
+
+
+def make_problem(rng, n=32, d=128, k=256):
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
+    z = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
+    return x, y, z, W
+
+
+def test_supports_fused_step(rng):
+    x, y, z, W = make_problem(rng)
+    assert supports_fused_step(x, z, W)
+    assert not supports_fused_step(x[:, :100], z, W[:100])  # D not aligned
+
+
+def test_fused_step_matches_reference(rng):
+    x, y, z, W = make_problem(rng)
+    lr, alpha, mom = 0.3, 0.05, 0.6
+    z1, y1, d1 = fused_fista_step(x, y, z, W, lr, alpha, mom, block_n=8,
+                                  interpret=True)
+    z2, y2, d2 = fista_step_reference(x, y, z, W, lr, alpha, mom)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
+
+
+def test_fused_step_uneven_block(rng):
+    # N=24 with block_n=256 -> shrinks to a divisor automatically
+    x, y, z, W = make_problem(rng, n=24)
+    z1, y1, d1 = fused_fista_step(x, y, z, W, 0.2, 0.1, 0.5, interpret=True)
+    z2, y2, d2 = fista_step_reference(x, y, z, W, 0.2, 0.1, 0.5)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+
+
+def test_ista_pallas_path_matches_xla_path(rng):
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    alpha = 0.1
+    # lr must be < 1/L ~ 0.17 for this problem: a divergent iteration
+    # amplifies kernel-vs-XLA rounding differences exponentially
+    z_fused = ista(x, z0, W, alpha, lr=0.1, maxiter=100, tol=1e-9,
+                   use_pallas=True)   # interpreted on CPU
+    z_plain = ista(x, z0, W, alpha, lr=0.1, maxiter=100, tol=1e-9,
+                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_plain),
+                               atol=1e-4)
+
+
+def test_ista_pallas_slow_path(rng):
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    z_fused = ista(x, z0, W, 0.1, lr=0.1, maxiter=100, tol=1e-9, fast=False,
+                   use_pallas=True)
+    z_plain = ista(x, z0, W, 0.1, lr=0.1, maxiter=100, tol=1e-9, fast=False,
+                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_plain),
+                               atol=1e-4)
