@@ -1,0 +1,97 @@
+"""Scale-out tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 5):
+sharded execution must match single-device results, and the psum-reduced
+Gram statistics of the dictionary update must be exact."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import sparse_encode, update_dict_ridge
+from lasso_tpu.parallel import (data_parallel_encode, make_mesh,
+                                make_train_step)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(n_devices=8)
+
+
+@pytest.fixture(scope="module")
+def mesh_tp():
+    return make_mesh(n_devices=8, model_parallel=2)
+
+
+def make_problem(rng, n=64, d=16, k=32):
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(W)
+
+
+def test_data_parallel_encode_matches_single_device(rng, mesh8):
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=500,
+                             tol=1e-8)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, algorithm="ista",
+                                   maxiter=500, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
+def test_data_parallel_encode_with_atom_sharding(rng, mesh_tp):
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=500,
+                             tol=1e-8)
+    z_shard = data_parallel_encode(mesh_tp, x, W, alpha=0.2,
+                                   shard_atoms=True, algorithm="ista",
+                                   maxiter=500, tol=1e-8)
+    # collective reduction order differs from the local matmul: allow
+    # float-sum noise
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-4)
+
+
+def test_sharded_gram_reduction_exact(rng, mesh8):
+    # Z^T Z and Z^T X under a data-sharded mesh must equal the unsharded
+    # values (XLA inserts the psum over the data axis)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    N, D, K = 64, 12, 20
+    X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    Z = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+
+    V_single = update_dict_ridge(X, Z, lambd=1e-3)
+
+    sh = NamedSharding(mesh8, P("data"))
+    fn = jax.jit(lambda X, Z: update_dict_ridge(X, Z, lambd=1e-3),
+                 in_shardings=(sh, sh),
+                 out_shardings=NamedSharding(mesh8, P()))
+    V_shard = fn(jax.device_put(X, sh), jax.device_put(Z, sh))
+    np.testing.assert_allclose(np.asarray(V_shard), np.asarray(V_single),
+                               atol=1e-4)
+
+
+def test_train_step_sharded_matches_local(rng, mesh8):
+    x, W = make_problem(rng)
+    step, (x_sh, w_sh) = make_train_step(mesh8, alpha=0.2, lambd=1e-2,
+                                         maxiter=300, tol=1e-8)
+    W_new_sh, loss_sh = step(jax.device_put(x, x_sh),
+                             jax.device_put(W, w_sh))
+
+    from lasso_tpu.linear import lasso_loss
+    Z = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=300, tol=1e-8)
+    loss_local = lasso_loss(x, Z, W, 0.2)
+    W_new_local = update_dict_ridge(x, Z, lambd=1e-2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_local), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(W_new_sh),
+                               np.asarray(W_new_local), atol=1e-4)
+
+
+def test_train_step_with_tp(rng, mesh_tp):
+    x, W = make_problem(rng)
+    step, (x_sh, w_sh) = make_train_step(mesh_tp, alpha=0.2,
+                                         shard_atoms=True, maxiter=100)
+    W_new, loss = step(jax.device_put(x, x_sh), jax.device_put(W, w_sh))
+    assert np.isfinite(float(loss))
+    assert W_new.shape == W.shape

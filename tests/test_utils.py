@@ -1,0 +1,80 @@
+"""Aux subsystems: checkpoint/resume, typed configs, profiling harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.utils import (config_for, dict_learning_resumable,
+                             latest_step, restore_checkpoint,
+                             save_checkpoint, time_solver)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"weight": jnp.arange(6.0).reshape(2, 3),
+             "losses": jnp.zeros((4,)),
+             "key": jax.random.PRNGKey(1)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, jax.device_get(state), step=3)
+    assert latest_step(path) == 3
+    restored, step = restore_checkpoint(path, template=jax.device_get(state))
+    assert step == 3
+    np.testing.assert_allclose(restored["weight"],
+                               np.arange(6.0).reshape(2, 3))
+
+
+def test_dict_learning_resumable_matches_plain(rng, tmp_path):
+    from lasso_tpu.linear import dict_learning
+    X = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    kw = dict(n_components=12, alpha=0.1, constrained=False, steps=8,
+              maxiter=100, key=jax.random.PRNGKey(7))
+    W_plain, losses_plain = dict_learning(X, **kw)
+    W_res, losses_res = dict_learning_resumable(
+        X, ckpt_dir=str(tmp_path / "dl"), save_every=3, **kw)
+    np.testing.assert_allclose(np.asarray(losses_res),
+                               np.asarray(losses_plain), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W_res), np.asarray(W_plain),
+                               atol=1e-4)
+
+
+def test_dict_learning_resume_from_partial(rng, tmp_path):
+    X = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    path = str(tmp_path / "dl2")
+    kw = dict(n_components=12, alpha=0.1, constrained=False,
+              maxiter=100, key=jax.random.PRNGKey(7))
+    # run 4 steps, checkpointing every 2
+    W4, _ = dict_learning_resumable(X, steps=4, ckpt_dir=path, save_every=2,
+                                    **kw)
+    assert latest_step(path) == 4
+    # resume to 8 total steps: must match an uninterrupted 8-step run
+    W8_resumed, losses8 = dict_learning_resumable(
+        X, steps=8, ckpt_dir=path, save_every=2, **kw)
+    W8_direct, losses8_direct = dict_learning_resumable(
+        X, steps=8, ckpt_dir=None, save_every=2, **kw)
+    np.testing.assert_allclose(np.asarray(W8_resumed),
+                               np.asarray(W8_direct), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(losses8)[4:],
+                               np.asarray(losses8_direct)[4:], atol=1e-5)
+
+
+def test_config_dispatch(rng):
+    x = jnp.asarray(rng.standard_normal((8, 10)), jnp.float32)
+    W = rng.standard_normal((10, 16)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+
+    cfg = config_for("ista", maxiter=500, tol=1e-8)
+    z1 = cfg.encode(x, W, alpha=0.2)
+    from lasso_tpu.linear import sparse_encode
+    z2 = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=500, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        config_for("bogus")
+
+
+def test_time_solver(rng):
+    x = jnp.asarray(rng.standard_normal((8, 10)), jnp.float32)
+    f = jax.jit(lambda x: jnp.tanh(x) @ x.T)
+    secs, out = time_solver(f, x)
+    assert secs > 0 and out.shape == (8, 8)
