@@ -136,7 +136,7 @@ def supports_fused_step(x, z0, weight):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_n", "interpret", "kernel_precision"))
-def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=128,
+def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=256,
                      interpret=False, kernel_precision="f32"):
     """One fused FISTA step. Returns ``(z_next, y_next, delta)`` where
     ``delta = sum|z_next - z|`` (the convergence statistic).
@@ -197,6 +197,11 @@ def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=128,
             bytes_accessed=(4 * N * K + N * D + D * K) * 4,
             transcendentals=0,
         ),
+        # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit forces
+        # tiny batch tiles. 64 MiB comfortably fits block_n=256 tiles
+        # (double-buffered) plus the resident dictionary split.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scal, x, y, z, *w_args)
 
