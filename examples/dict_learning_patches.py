@@ -48,17 +48,12 @@ def make_stroke_images(n_images=200, size=28, seed=0):
 
 
 def extract_patches(imgs, patch=8, per_image=20, seed=1):
-    rng = np.random.default_rng(seed)
-    n, size, _ = imgs.shape
-    out = np.empty((n * per_image, patch * patch), np.float32)
-    k = 0
-    for i in range(n):
-        for _ in range(per_image):
-            y0, x0 = rng.integers(0, size - patch, size=2)
-            out[k] = imgs[i, y0:y0 + patch, x0:x0 + patch].ravel()
-            k += 1
+    # native C++ pipeline (multithreaded, numpy fallback without g++)
+    from lasso_tpu import native
+    out = native.extract_patches_random(imgs, patch=patch,
+                                        per_image=per_image, seed=seed)
     # center patches (standard sparse-coding preprocessing)
-    out -= out.mean(axis=1, keepdims=True)
+    native.center_patches(out)
     keep = (out ** 2).sum(1) > 1e-3  # drop empty patches
     return out[keep]
 

@@ -1,0 +1,63 @@
+"""Native C++ patch pipeline: build, parity with numpy fallback,
+determinism, threading."""
+
+import numpy as np
+import pytest
+
+from lasso_tpu import native
+
+
+@pytest.fixture(scope="module")
+def imgs(request):
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((6, 20, 24)).astype(np.float32)
+
+
+def test_native_builds():
+    assert native.have_native(), "g++ build of patch_ops.cpp failed"
+
+
+def test_dense_matches_numpy_fallback(imgs):
+    out_native = native.extract_patches_dense(imgs, patch=8, stride=4)
+    lib = native._LIB
+    try:
+        native._LIB, native._BUILD_ERROR = None, RuntimeError("forced")
+        out_np = native.extract_patches_dense(imgs, patch=8, stride=4)
+    finally:
+        native._LIB, native._BUILD_ERROR = lib, None
+    np.testing.assert_array_equal(out_native, out_np)
+
+
+def test_random_patches_deterministic_and_valid(imgs):
+    a = native.extract_patches_random(imgs, patch=7, per_image=5, seed=42)
+    b = native.extract_patches_random(imgs, patch=7, per_image=5, seed=42)
+    c = native.extract_patches_random(imgs, patch=7, per_image=5, seed=43)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.shape == (30, 49)
+    # every extracted patch must be an actual subwindow of its image
+    patch0 = a[0].reshape(7, 7)
+    found = False
+    for y0 in range(imgs.shape[1] - 6):
+        for x0 in range(imgs.shape[2] - 6):
+            if np.array_equal(imgs[0, y0:y0 + 7, x0:x0 + 7], patch0):
+                found = True
+    assert found
+
+
+def test_center_patches_matches_numpy(imgs):
+    p1 = native.extract_patches_dense(imgs, patch=6, stride=6)
+    p2 = p1.copy()
+    native.center_patches(p1, normalize=True)
+    p2 -= p2.mean(axis=1, keepdims=True)
+    nrm = np.linalg.norm(p2, axis=1, keepdims=True)
+    p2 *= np.where(nrm > 1e-6, 1.0 / np.maximum(nrm, 1e-30), 0.0)
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+def test_threading_matches_single_thread(imgs):
+    a = native.extract_patches_random(imgs, patch=5, per_image=9, seed=7,
+                                      threads=1)
+    b = native.extract_patches_random(imgs, patch=5, per_image=9, seed=7,
+                                      threads=4)
+    np.testing.assert_array_equal(a, b)
