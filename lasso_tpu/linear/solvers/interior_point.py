@@ -53,7 +53,7 @@ def _initialize_params(z0, weight, alpha, prec):
 
 def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                    barrier_init=0.1, tol=1e-2, eps=1e-5, precision=None,
-                   return_iters=False):
+                   verbose=False, return_iters=False):
     """Interior-point lasso solver (reference ip.py:93-224).
 
     x: [B, D], weight: [D, K] -> (z: [B, K], success: bool scalar).
@@ -106,6 +106,15 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         dual_feas = jnp.mean(jnp.linalg.norm(ra, axis=1) / (1 + l_norm))
         gap = jnp.mean(jnp.sum(z_new * s_new, axis=1) / (1 + z_norm * l_norm))
         success = (prim_feas < tol) & (dual_feas < tol) & (gap < tol)
+
+        if verbose:
+            # iteration report columns matching the reference's BasicReport
+            # (ip.py:11-14, 215-216)
+            import jax
+            objf = alpha * jnp.sum(z_new) + 0.5 * jnp.sum(jnp.square(lmbda_new))
+            jax.debug.print(
+                "niter {k}  obj {o:.4e}  prim {p:.2e}  dual {d:.2e}  gap {g:.2e}",
+                k=k + 1, o=objf, p=prim_feas, d=dual_feas, g=gap)
 
         return (z_new, lmbda_new, s_new, mu_new, k + 1, success, success)
 

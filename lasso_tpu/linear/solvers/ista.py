@@ -74,7 +74,7 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=100,
          power_iters=500, precision=None, use_pallas="auto",
-         kernel_precision="f32", return_iters=False):
+         kernel_precision="f32", verbose=False, return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -129,6 +129,13 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     def body(state):
         z, y, t, k, _ = state
+        if verbose:
+            # per-iteration loss print (reference ista.py:80-81), via
+            # debug callback so it works inside the compiled loop
+            resid_v = jnp.matmul(z, weight.T, precision=prec) - x
+            loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
+                      + alpha * jnp.sum(jnp.abs(z))) / x.shape[0]
+            jax.debug.print("loss: {l:.4f}", l=loss_v)
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             mom = (t - 1) / t_next

@@ -1,0 +1,105 @@
+"""Property tests (SURVEY.md §4 item 6): batch independence, stop-criteria
+coverage, backtracking parity, encode-init golden checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import initialize_code, sparse_encode
+from lasso_tpu.linear.solvers import interior_point, ista
+
+from _oracles import lasso_objective, load_reference
+
+
+def make_problem(rng, n=12, d=10, k=16, alpha=0.3):
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(W), alpha
+
+
+def test_fista_batch_equals_per_sample(rng):
+    """Solving an [N] batch must equal N independent solves (fixed
+    iteration count removes the global-stopping coupling)."""
+    x, W, alpha = make_problem(rng, n=6)
+    z0 = jnp.zeros((6, W.shape[1]), jnp.float32)
+    z_batch = ista(x, z0, W, alpha, lr=0.2, maxiter=300, tol=0.0)
+    for i in range(6):
+        z_i = ista(x[i:i + 1], z0[i:i + 1], W, alpha, lr=0.2, maxiter=300,
+                   tol=0.0)
+        np.testing.assert_allclose(np.asarray(z_batch[i]),
+                                   np.asarray(z_i[0]), atol=1e-5)
+
+
+def test_cd_batch_equals_per_sample(rng):
+    from lasso_tpu.linear.solvers import coord_descent_mod
+    x, W, alpha = make_problem(rng, n=5)
+    z_batch, _ = coord_descent_mod(x, W, alpha=alpha, max_iter=500, tol=1e-9)
+    for i in range(5):
+        z_i, _ = coord_descent_mod(x[i:i + 1], W, alpha=alpha, max_iter=500,
+                                   tol=1e-9)
+        np.testing.assert_allclose(np.asarray(z_batch[i]),
+                                   np.asarray(z_i[0]), atol=1e-4)
+
+
+@pytest.mark.parametrize("criterion", [0, 1, 2, 3, 4])
+def test_gpsr_all_stop_criteria(rng, criterion):
+    x, W, alpha = make_problem(rng)
+    tol = {0: 0.0, 1: 1e-8, 2: 1e-6, 3: 1e-4, 4: 1.0}[criterion]
+    z = sparse_encode(x, W, alpha, algorithm="gpsr", maxiter=300,
+                      stop_criterion=criterion, tol=tol)
+    assert np.isfinite(lasso_objective(x, W, z, alpha))
+
+
+def test_backtracking_golden_parity(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    x_np = rng.standard_normal((8, 10)).astype(np.float32)
+    W_np = rng.standard_normal((10, 16)).astype(np.float32)
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+
+    z_ref = lasso_ref.linear.sparse_encode(
+        torch.from_numpy(x_np), torch.from_numpy(W_np), alpha=alpha,
+        algorithm="ista", maxiter=500, tol=1e-9, backtrack=True, lr=5.0)
+    z_tpu = sparse_encode(jnp.asarray(x_np), jnp.asarray(W_np), alpha,
+                          algorithm="ista", maxiter=500, tol=1e-9,
+                          backtrack=True, lr=5.0)
+    f_ref = lasso_objective(x_np, W_np, z_ref.numpy(), alpha)
+    f_tpu = lasso_objective(x_np, W_np, z_tpu, alpha)
+    assert abs(f_tpu - f_ref) <= 1e-4 * max(1.0, abs(f_ref))
+
+
+def test_initialize_code_golden_parity(rng):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+
+    x_np = rng.standard_normal((7, 9)).astype(np.float32)
+    W_np = rng.standard_normal((9, 13)).astype(np.float32)
+    alpha = 0.3
+    for mode in ["zero", "lstsq", "ridge", "transpose"]:
+        z_ref = lasso_ref.linear.initialize_code(
+            torch.from_numpy(x_np), torch.from_numpy(W_np), alpha, mode)
+        z_tpu = initialize_code(jnp.asarray(x_np), jnp.asarray(W_np), alpha,
+                                mode)
+        np.testing.assert_allclose(np.asarray(z_tpu), z_ref.numpy(),
+                                   atol=2e-3, err_msg=mode)
+
+
+def test_interior_point_return_iters(rng):
+    x, W, alpha = make_problem(rng, n=4)
+    z, success, k = interior_point(x, W, alpha=alpha, maxiter=30, tol=1e-2,
+                                   return_iters=True)
+    assert 0 < int(k) <= 30
+
+
+def test_solver_dtype_preserved(rng):
+    x, W, alpha = make_problem(rng, n=4)
+    for algo in ["ista", "cd", "gpsr", "split-bregman"]:
+        z = sparse_encode(x, W, alpha, algorithm=algo, maxiter=20)
+        assert z.dtype == jnp.float32, algo
