@@ -34,7 +34,10 @@ def main():
     from lasso_tpu.linear.solvers import ista
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    # distinct inputs per repeat: repeated identical executions can be
+    # served from an execution cache on some backends, inflating it/s
+    xs = [jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+          for _ in range(4)]
     W = jnp.asarray(
         (rng.standard_normal((D, K)) / np.sqrt(D)).astype(np.float32))
     z0 = jnp.zeros((N, K), jnp.float32)
@@ -51,12 +54,14 @@ def main():
         x, z0, W, ALPHA, lr=lr, maxiter=ITERS, tol=0.0))
 
     # warmup / compile
-    run(x, z0, W).block_until_ready()
+    run(xs[0], z0, W).block_until_ready()
 
     times = []
-    for _ in range(3):
+    for i in range(1, 4):
         t0 = time.perf_counter()
-        run(x, z0, W).block_until_ready()
+        out = run(xs[i], z0, W)
+        out.block_until_ready()
+        float(out[0, 0])  # force a real device->host readback
         times.append(time.perf_counter() - t0)
     dt = min(times)
     iters_per_s = ITERS / dt

@@ -124,11 +124,15 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         return soft_threshold(z_prev - lr * rss_grad(z_prev), alpha * lr)
 
     def cond(state):
-        _, _, _, k, done = state
+        _, _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
     def body(state):
-        z, y, t, k, _ = state
+        # carry: current z, previous z (for the in-kernel momentum point),
+        # t, and mom — the momentum coefficient for THIS step's y, which
+        # lags the t-update by one iteration:
+        #   y_k = z_k + ((t_{k-1} - 1) / t_k)(z_k - z_{k-1})
+        z, z_prev, t, mom, k, _ = state
         if verbose:
             # per-iteration loss print (reference ista.py:80-81), via
             # debug callback so it works inside the compiled loop
@@ -136,27 +140,27 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
                       + alpha * jnp.sum(jnp.abs(z))) / x.shape[0]
             jax.debug.print("loss: {l:.4f}", l=loss_v)
+        if fused:
+            z_next, delta = fused_fista_step(
+                x, z, z_prev, weight, lr, alpha, mom,
+                interpret=interpret, kernel_precision=kernel_precision)
+        else:
+            y = z + mom * (z - z_prev)
+            z_next = step(y)
+            delta = jnp.sum(jnp.abs(z - z_next))
+        done = delta <= tol_total
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            mom = (t - 1) / t_next
+            mom_next = (t - 1) / t_next
         else:
             t_next = t
-            mom = jnp.asarray(0.0, x.dtype)
-        if fused:
-            z_next, y_next, delta = fused_fista_step(
-                x, y if fast else z, z, weight, lr, alpha, mom,
-                interpret=interpret, kernel_precision=kernel_precision)
-            done = delta <= tol_total
-        else:
-            z_prev = y if fast else z
-            z_next = step(z_prev)
-            done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
-            y_next = z_next + mom * (z_next - z) if fast else z_next
-        return (z_next, y_next, t_next, k + 1, done)
+            mom_next = mom  # stays 0
+        return (z_next, z, t_next, mom_next, k + 1, done)
 
     t0 = jnp.asarray(1.0, x.dtype)
-    init = (z0, z0, t0, jnp.asarray(0), jnp.asarray(False))
-    z, _, _, k, _ = lax.while_loop(cond, body, init)
+    mom0 = jnp.asarray(0.0, x.dtype)
+    init = (z0, z0, t0, mom0, jnp.asarray(0), jnp.asarray(False))
+    z, _, _, _, k, _ = lax.while_loop(cond, body, init)
     if return_iters:
         return z, k
     return z

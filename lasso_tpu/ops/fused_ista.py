@@ -83,14 +83,12 @@ def _dot_nn(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _epilogue(scal_ref, y, z, grad, z_out_ref, y_out_ref, delta_ref):
+def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
     lr = scal_ref[0, 0]
     thresh = scal_ref[0, 1]   # alpha * lr
-    mom = scal_ref[0, 2]      # (t - 1) / t_next
     u = y - lr * grad
     z_next = jnp.sign(u) * jnp.maximum(jnp.abs(u) - thresh, 0.0)
     z_out_ref[:] = z_next
-    y_out_ref[:] = z_next + mom * (z_next - z)
 
     # accumulate the convergence statistic across the (sequential) grid
     @pl.when(pl.program_id(0) == 0)
@@ -100,18 +98,21 @@ def _epilogue(scal_ref, y, z, grad, z_out_ref, y_out_ref, delta_ref):
     delta_ref[0, 0] += jnp.sum(jnp.abs(z_next - z))
 
 
-def _fista_kernel_bf16(scal_ref, x_ref, y_ref, z_ref, w_ref,
-                       z_out_ref, y_out_ref, delta_ref):
-    y = y_ref[:]
+def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
+                       z_out_ref, delta_ref):
+    z = z_ref[:]
+    # momentum point formed in-register: y = z + mom * (z - z_prev)
+    y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w = w_ref[:]
     resid = _dot_nt(y, w) - x_ref[:]
     grad = _dot_nn(resid, w)
-    _epilogue(scal_ref, y, z_ref[:], grad, z_out_ref, y_out_ref, delta_ref)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
 
 
-def _fista_kernel_f32(scal_ref, x_ref, y_ref, z_ref, w_hi_ref, w_lo_ref,
-                      z_out_ref, y_out_ref, delta_ref):
-    y = y_ref[:]
+def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
+                      z_out_ref, delta_ref):
+    z = z_ref[:]
+    y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w_hi = w_hi_ref[:]
     w_lo = w_lo_ref[:]
 
@@ -122,7 +123,7 @@ def _fista_kernel_f32(scal_ref, x_ref, y_ref, z_ref, w_hi_ref, w_lo_ref,
     r_hi, r_lo = _split_bf16(resid)
     grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
             + _dot_nn(r_lo, w_hi))
-    _epilogue(scal_ref, y, z_ref[:], grad, z_out_ref, y_out_ref, delta_ref)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
 
 
 def supports_fused_step(x, z0, weight):
@@ -136,12 +137,19 @@ def supports_fused_step(x, z0, weight):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_n", "interpret", "kernel_precision"))
-def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=256,
+def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
                      interpret=False, kernel_precision="f32"):
-    """One fused FISTA step. Returns ``(z_next, y_next, delta)`` where
+    """One fused FISTA step. Returns ``(z_next, delta)`` where
     ``delta = sum|z_next - z|`` (the convergence statistic).
 
-    x: [N, D], y/z: [N, K], weight: [D, K]; lr/alpha/mom may be traced.
+    The momentum point ``y = z + mom * (z - z_prev)`` is formed inside the
+    kernel, so the iteration carries only ``(z, z_prev)`` — HBM traffic is
+    the i/o minimum 3NK + ND per step.
+
+    x: [N, D], z/z_prev: [N, K], weight: [D, K]; lr/alpha/mom may be
+    traced. ``mom`` must be the momentum coefficient for *this* step's y
+    (i.e. lagged one iteration relative to the t-update; see
+    linear/solvers/ista.py).
     """
     N, D = x.shape
     K = weight.shape[1]
@@ -178,23 +186,21 @@ def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=256,
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
                          f"{kernel_precision!r}")
 
-    z_next, y_next, delta = pl.pallas_call(
+    z_next, delta = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem(), tile_d(), tile_k(), tile_k()] + w_specs,
         out_specs=[
             tile_k(),
-            tile_k(),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, K), jnp.float32),
             jax.ShapeDtypeStruct((N, K), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=(12 if kernel_precision == "f32" else 4) * N * K * D,
-            bytes_accessed=(4 * N * K + N * D + D * K) * 4,
+            bytes_accessed=(3 * N * K + N * D + D * K) * 4,
             transcendentals=0,
         ),
         # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit forces
@@ -203,18 +209,19 @@ def fused_fista_step(x, y, z, weight, lr, alpha, mom, block_n=256,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, y, z, *w_args)
+    )(scal, x, z, z_prev, *w_args)
 
-    return z_next, y_next, delta[0, 0]
+    return z_next, delta[0, 0]
 
 
-def fista_step_reference(x, y, z, weight, lr, alpha, mom, precision=None):
+def fista_step_reference(x, z, z_prev, weight, lr, alpha, mom,
+                         precision=None):
     """jnp twin of the fused kernel (used as fallback and in tests)."""
     from lasso_tpu.config import get_precision
     prec = get_precision(precision)
+    y = z + mom * (z - z_prev)
     resid = jnp.matmul(y, weight.T, precision=prec) - x
     grad = jnp.matmul(resid, weight, precision=prec)
     u = y - lr * grad
     z_next = jnp.sign(u) * jnp.maximum(jnp.abs(u) - alpha * lr, 0.0)
-    y_next = z_next + mom * (z_next - z)
-    return z_next, y_next, jnp.sum(jnp.abs(z_next - z))
+    return z_next, jnp.sum(jnp.abs(z_next - z))

@@ -15,33 +15,33 @@ def make_problem(rng, n=32, d=128, k=256):
     x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
     W = jnp.asarray(
         (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
-    y = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
     z = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
-    return x, y, z, W
+    zp = jnp.asarray(rng.standard_normal((n, k)) * 0.1, jnp.float32)
+    return x, z, zp, W
 
 
 def test_supports_fused_step(rng):
-    x, y, z, W = make_problem(rng)
+    x, z, zp, W = make_problem(rng)
     assert supports_fused_step(x, z, W)
     assert not supports_fused_step(x[:, :100], z, W[:100])  # D not aligned
 
 
-def test_fused_step_matches_reference(rng):
-    x, y, z, W = make_problem(rng)
+@pytest.mark.parametrize("kp", ["f32", "bf16"])
+def test_fused_step_matches_reference(rng, kp):
+    x, z, zp, W = make_problem(rng)
     lr, alpha, mom = 0.3, 0.05, 0.6
-    z1, y1, d1 = fused_fista_step(x, y, z, W, lr, alpha, mom, block_n=8,
-                                  interpret=True)
-    z2, y2, d2 = fista_step_reference(x, y, z, W, lr, alpha, mom)
+    z1, d1 = fused_fista_step(x, z, zp, W, lr, alpha, mom, block_n=8,
+                              interpret=True, kernel_precision=kp)
+    z2, d2 = fista_step_reference(x, z, zp, W, lr, alpha, mom)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
     np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
 
 
 def test_fused_step_uneven_block(rng):
     # N=24 with block_n=256 -> shrinks to a divisor automatically
-    x, y, z, W = make_problem(rng, n=24)
-    z1, y1, d1 = fused_fista_step(x, y, z, W, 0.2, 0.1, 0.5, interpret=True)
-    z2, y2, d2 = fista_step_reference(x, y, z, W, 0.2, 0.1, 0.5)
+    x, z, zp, W = make_problem(rng, n=24)
+    z1, d1 = fused_fista_step(x, z, zp, W, 0.2, 0.1, 0.5, interpret=True)
+    z2, d2 = fista_step_reference(x, z, zp, W, 0.2, 0.1, 0.5)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
 
 
@@ -68,3 +68,28 @@ def test_ista_pallas_slow_path(rng):
                    use_pallas=False)
     np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_plain),
                                atol=1e-4)
+
+
+def test_momentum_restructure_matches_reference_trajectory(rng):
+    """The (z, z_prev, lagged-mom) carry must reproduce the reference's
+    (z, y, t) FISTA trajectory exactly."""
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    lr, alpha = 0.1, 0.05
+
+    # classic formulation, literal transcription of reference ista.py:79-102
+    z, y, t = z0, z0, 1.0
+    for _ in range(25):
+        resid = y @ W.T - x
+        g = resid @ W
+        u = y - lr * g
+        z_next = jnp.sign(u) * jnp.maximum(jnp.abs(u) - alpha * lr, 0.0)
+        t_next = (1 + float(np.sqrt(1 + 4 * t * t))) / 2
+        y = z_next + ((t - 1) / t_next) * (z_next - z)
+        t = t_next
+        z = z_next
+
+    z_solver = ista(x, z0, W, alpha, lr=lr, maxiter=25, tol=0.0,
+                    use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_solver), np.asarray(z),
+                               atol=2e-5)
