@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Time-to-objective-gap harness (the second half of the BASELINE metric).
+
+Measures wall-clock time for batched FISTA to reach a relative objective
+gap <= --gap (default 1e-6) against a converged reference objective, for
+this framework on the current backend and (optionally, --reference) for
+pytorch-lasso on CPU.
+
+Prints one JSON line per measured system.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--d", type=int, default=256)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--alpha", type=float, default=0.1)
+    ap.add_argument("--gap", type=float, default=1e-6)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--max-chunks", type=int, default=200)
+    ap.add_argument("--reference", action="store_true",
+                    help="also measure pytorch-lasso on CPU")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from lasso_tpu.linalg import lipschitz_constant
+    from lasso_tpu.ops.fused_ista import fused_fista_step, fista_step_reference
+    from lasso_tpu.ops.fused_ista import supports_fused_step
+
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((args.n, args.d)).astype(np.float32)
+    W_np = (rng.standard_normal((args.d, args.k))
+            / np.sqrt(args.d)).astype(np.float32)
+
+    x = jnp.asarray(x_np)
+    W = jnp.asarray(W_np)
+    lr = float(1.0 / lipschitz_constant(W))
+
+    fused = (jax.default_backend() == "tpu"
+             and supports_fused_step(x, x @ W, W))
+    step_fn = fused_fista_step if fused else fista_step_reference
+
+    @jax.jit
+    def run_chunk(z, z_prev, t, mom):
+        def body(_, carry):
+            z, z_prev, t, mom = carry
+            z_next, _ = step_fn(x, z, z_prev, W, lr, args.alpha, mom)
+            t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+            mom_next = (t - 1) / t_next
+            return (z_next, z, t_next, mom_next)
+        return jax.lax.fori_loop(0, args.chunk, body, (z, z_prev, t, mom))
+
+    @jax.jit
+    def objective(z):
+        r = jnp.matmul(z, W.T, precision=jax.lax.Precision.HIGHEST) - x
+        return 0.5 * jnp.sum(jnp.square(r)) + args.alpha * jnp.sum(jnp.abs(z))
+
+    # converged reference objective: long run
+    z = jnp.zeros((args.n, args.k), jnp.float32)
+    state = (z, z, jnp.float32(1), jnp.float32(0))
+    for _ in range(args.max_chunks):
+        state = run_chunk(*state)
+    f_star = float(objective(state[0]))
+
+    # timed run to the gap (chunk boundaries only; compile excluded)
+    state = (z, z, jnp.float32(1), jnp.float32(0))
+    state = jax.block_until_ready(run_chunk(*state))  # warm (already built)
+    state = (z, z, jnp.float32(1), jnp.float32(0))
+    t0 = time.perf_counter()
+    iters = 0
+    reached = None
+    for _ in range(args.max_chunks):
+        state = run_chunk(*state)
+        iters += args.chunk
+        f = float(objective(state[0]))
+        if (f - f_star) <= args.gap * abs(f_star):
+            reached = time.perf_counter() - t0
+            break
+    print(json.dumps({
+        "system": f"lasso_tpu[{jax.default_backend()}]"
+                  + ("+pallas" if fused else ""),
+        "config": f"{args.n}x({args.d}->{args.k})",
+        "gap": args.gap,
+        "seconds_to_gap": None if reached is None else round(reached, 3),
+        "iterations": iters if reached is not None else None,
+        "f_star": f_star,
+    }))
+
+    if args.reference:
+        sys.path.insert(0, "/root/reference")
+        import scipy.optimize.optimize as soo
+        if not hasattr(soo, "_status_message"):
+            from scipy.optimize._optimize import _status_message
+            soo._status_message = _status_message
+        import torch
+        from lasso.linear.solvers.ista import ista as ref_ista
+
+        xt = torch.from_numpy(x_np)
+        Wt = torch.from_numpy(W_np)
+
+        def obj_t(z):
+            r = z @ Wt.T - xt
+            return float(0.5 * (r ** 2).sum()
+                         + args.alpha * z.abs().sum())
+
+        t0 = time.perf_counter()
+        z_t = torch.zeros(args.n, args.k)
+        iters = 0
+        reached = None
+        for _ in range(args.max_chunks):
+            z_t = ref_ista(xt, z_t, Wt, args.alpha, lr=lr,
+                           maxiter=args.chunk, tol=0.0)
+            iters += args.chunk
+            if (obj_t(z_t) - f_star) <= args.gap * abs(f_star):
+                reached = time.perf_counter() - t0
+                break
+        print(json.dumps({
+            "system": "pytorch-lasso[cpu]",
+            "config": f"{args.n}x({args.d}->{args.k})",
+            "gap": args.gap,
+            "seconds_to_gap": None if reached is None else round(reached, 3),
+            "iterations": iters if reached is not None else None,
+        }))
+
+
+if __name__ == "__main__":
+    main()
