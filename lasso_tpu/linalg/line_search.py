@@ -22,13 +22,16 @@ _INVPHI2 = (3.0 - math.sqrt(5.0)) / 2.0  # 1/phi^2 ~ 0.382
 
 
 def golden_section(fn, lo=0.0, hi=1.0, maxiter=30):
-    """Minimize scalar ``fn`` over ``[lo, hi]``; returns ``(t_min, f_min)``.
+    """Minimize ``fn`` over ``[lo, hi]``; returns ``(t_min, f_min)``.
 
-    ``fn`` must be a traceable scalar->scalar function. ``lo``/``hi`` may be
-    traced values.
+    ``fn`` must be a traceable function. Fully vectorized: when ``lo``/``hi``
+    are arrays and ``fn`` maps elementwise (e.g. a per-sample objective
+    ``[B] -> [B]``), the search runs independently per element — this is
+    the per-sample line-search upgrade over the reference's batch-shared
+    scipy Brent step.
     """
     lo = jnp.asarray(lo, jnp.result_type(float))
-    hi = jnp.asarray(hi, lo.dtype)
+    hi = jnp.broadcast_to(jnp.asarray(hi, lo.dtype), lo.shape)
 
     a0 = lo
     b0 = hi

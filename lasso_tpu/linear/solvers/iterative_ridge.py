@@ -32,10 +32,15 @@ from lasso_tpu.linalg.line_search import golden_section
 
 def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
                     eps=None, maxiter=10, line_search=True, cg=False,
-                    cg_options=None, ls_maxiter=30, precision=None):
+                    cg_options=None, ls_maxiter=30, per_sample_ls=False,
+                    precision=None):
     """Iterated ridge (reference iterative_ridge.py:11-141).
 
     z0: [B, K] (ridge init recommended), x: [B, D], weight: [D, K].
+
+    ``per_sample_ls=True`` upgrades the reference's batch-shared scalar
+    line search to an independent step size per sample (same cost: the
+    golden-section trials are elementwise either way).
     """
     if tikhonov < 1e-5:
         warnings.warn("small regularization value %0.4e may lead to "
@@ -87,12 +92,24 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
             R0 = jnp.matmul(z, weight.T, precision=prec) - x
             Rp = jnp.matmul(p, weight.T, precision=prec)
 
-            def line_obj(t):
-                return (0.5 * jnp.sum(jnp.square(R0 + t * Rp))
-                        + alpha * jnp.sum(jnp.abs(z + t * p)))
+            if per_sample_ls:
+                def line_obj(t):  # [B] -> [B]
+                    tt = t[:, None]
+                    return (0.5 * jnp.sum(jnp.square(R0 + tt * Rp), axis=1)
+                            + alpha * jnp.sum(jnp.abs(z + tt * p), axis=1))
 
-            t, fval_new = golden_section(line_obj, 0.0, 10.0,
-                                         maxiter=ls_maxiter)
+                t, fvals = golden_section(
+                    line_obj, jnp.zeros((z.shape[0],), z.dtype), 10.0,
+                    maxiter=ls_maxiter)
+                t = t[:, None]
+                fval_new = jnp.sum(fvals)
+            else:
+                def line_obj(t):
+                    return (0.5 * jnp.sum(jnp.square(R0 + t * Rp))
+                            + alpha * jnp.sum(jnp.abs(z + t * p)))
+
+                t, fval_new = golden_section(line_obj, 0.0, 10.0,
+                                             maxiter=ls_maxiter)
             update = p * t
             z_new = jnp.where(is_zero, z, z + update)
         else:

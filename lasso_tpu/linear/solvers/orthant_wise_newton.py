@@ -42,10 +42,13 @@ def pseudo_grad(z, grad_f, alpha):
 
 def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
                         xtol=1e-5, line_search="brent", ls_options=None,
-                        ls_maxiter=30, precision=None):
+                        ls_maxiter=30, per_sample_ls=False, precision=None):
     """Orthant-wise Newton (reference own.py:32-160).
 
     weight: [D, K], x: [B, D], z0: [B, K] -> z: [B, K]
+
+    ``per_sample_ls=True`` gives each sample its own 'brent' step size
+    (the reference shares one scalar across the batch).
     """
     prec = get_precision(precision)
     assert z0.ndim == 2
@@ -83,8 +86,20 @@ def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
             return 0.5 * jnp.sum(jnp.square(resid)) \
                 + alpha * jnp.sum(jnp.abs(z_new))
 
+        def f_at_vec(t):  # per-sample: [B] -> [B]
+            z_new = project(z + t[:, None] * d, eta)
+            resid = jnp.matmul(z_new, weight.T, precision=prec) - x
+            return 0.5 * jnp.sum(jnp.square(resid), axis=1) \
+                + alpha * jnp.sum(jnp.abs(z_new), axis=1)
+
         if line_search == "brent":
-            t, _ = golden_section(f_at, 0.0, 10.0, maxiter=ls_maxiter)
+            if per_sample_ls:
+                t, _ = golden_section(
+                    f_at_vec, jnp.zeros((z.shape[0],), z.dtype), 10.0,
+                    maxiter=ls_maxiter)
+                t = t[:, None]
+            else:
+                t, _ = golden_section(f_at, 0.0, 10.0, maxiter=ls_maxiter)
         elif line_search == "backtrack":
             def bt_cond(s):
                 t, j, done = s

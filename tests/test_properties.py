@@ -103,3 +103,26 @@ def test_solver_dtype_preserved(rng):
     for algo in ["ista", "cd", "gpsr", "split-bregman"]:
         z = sparse_encode(x, W, alpha, algorithm=algo, maxiter=20)
         assert z.dtype == jnp.float32, algo
+
+
+def test_per_sample_line_search_improves_own(rng):
+    x, W, alpha = make_problem(rng, n=16)
+    z_shared = sparse_encode(x, W, alpha, algorithm="own", maxiter=60,
+                             xtol=1e-7)
+    z_ps = sparse_encode(x, W, alpha, algorithm="own", maxiter=60,
+                         xtol=1e-7, per_sample_ls=True)
+    f_shared = lasso_objective(x, W, z_shared, alpha)
+    f_ps = lasso_objective(x, W, z_ps, alpha)
+    # per-sample steps must match or beat the batch-shared step
+    assert f_ps <= f_shared * (1 + 1e-4)
+
+
+def test_per_sample_line_search_iter_ridge(rng):
+    x, W, alpha = make_problem(rng, n=16, k=8)
+    z_shared = sparse_encode(x, W, alpha, algorithm="iter-ridge",
+                             maxiter=40, tol=1e-9)
+    z_ps = sparse_encode(x, W, alpha, algorithm="iter-ridge", maxiter=40,
+                         tol=1e-9, per_sample_ls=True)
+    f_shared = lasso_objective(x, W, z_shared, alpha)
+    f_ps = lasso_objective(x, W, z_ps, alpha)
+    assert f_ps <= f_shared * (1 + 1e-3)
