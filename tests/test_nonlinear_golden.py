@@ -119,3 +119,68 @@ def test_owlqn_golden_parity(shared_problem):
     f_ref = lasso_obj(dec_j, x, z_ref.numpy(), alpha)
     # match-or-beat: in-jit golden-section line search vs scipy Brent
     assert f_ours <= f_ref * (1 + 5e-3)
+
+
+def test_iterative_ridge_bfgs_golden_parity(shared_problem):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+    from lasso_tpu.nonlinear import iterative_ridge_bfgs
+
+    w1, w2, x, z0 = shared_problem
+    alpha = 0.05
+    # nonzero init: iterative-ridge freezes exact zeros permanently
+    z0 = z0 + 0.05
+
+    dec_j = jax_decoder(w1, w2)
+    xj = jnp.asarray(x)
+    fun_j = lambda z: 0.5 * jnp.sum(jnp.square(dec_j(z) - xj))
+    z_ours = iterative_ridge_bfgs(fun_j, jnp.asarray(z0), alpha=alpha,
+                                  maxiter=40, xtol=1e-7)
+
+    dec_t = torch_decoder(w1, w2)
+    xt = torch.from_numpy(x)
+    fun_t = lambda z: 0.5 * (dec_t(z) - xt).pow(2).sum()
+    z_ref = lasso_ref.nonlinear.iterative_ridge_bfgs(
+        fun_t, torch.from_numpy(z0), alpha=alpha, maxiter=40, xtol=1e-7)
+
+    f_ours = lasso_obj(dec_j, x, np.asarray(z_ours), alpha)
+    f_ref = lasso_obj(dec_j, x, z_ref.numpy(), alpha)
+    assert f_ours <= f_ref * (1 + 5e-3)
+
+
+def test_split_bregman_nl_golden_parity(shared_problem):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch
+    from lasso_tpu.nonlinear import split_bregman_nl
+
+    w1, w2, x, z0 = shared_problem
+    alpha = 0.05
+    # the reference 'exact' path is single-sample (flattened x)
+    x1, z1 = x[0], z0[0]
+
+    dec_j = jax_decoder(w1, w2)
+    x1j = jnp.asarray(x1)
+    fun_j = lambda z: dec_j(z[None])[0] - x1j
+    z_ours = split_bregman_nl(fun_j, jnp.asarray(z1), alpha=alpha,
+                              lambd=1.0, max_iter=30, solver="exact",
+                              xtol=1e-7)
+
+    dec_t = torch_decoder(w1, w2)
+    x1t = torch.from_numpy(x1)
+    fun_t = lambda z: dec_t(z.unsqueeze(0)).squeeze(0) - x1t
+    z_ref = lasso_ref.nonlinear.split_bregman_nl(
+        fun_t, torch.from_numpy(z1), alpha=alpha, lambd=1.0, max_iter=30,
+        solver="exact", xtol=1e-7)
+
+    def obj(z):
+        return float(0.5 * np.sum(
+            (np.asarray(dec_j(jnp.asarray(z)[None])[0]) - x1) ** 2)
+            + alpha * np.sum(np.abs(z)))
+
+    f_ours = obj(np.asarray(z_ours))
+    f_ref = obj(z_ref.numpy())
+    assert f_ours <= f_ref * (1 + 1e-2)
