@@ -78,3 +78,34 @@ def test_time_solver(rng):
     f = jax.jit(lambda x: jnp.tanh(x) @ x.T)
     secs, out = time_solver(f, x)
     assert secs > 0 and out.shape == (8, 8)
+
+
+def test_export_encoder_roundtrip(rng):
+    from lasso_tpu.utils.export import export_encoder, load_encoder
+    from lasso_tpu.linear import sparse_encode
+
+    W = rng.standard_normal((10, 16)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    Wj = jnp.asarray(W)
+    x = jnp.asarray(rng.standard_normal((8, 10)), np.float32)
+
+    blob = export_encoder(Wj, alpha=0.2, algorithm="ista", batch_size=8,
+                          maxiter=200, tol=1e-8, lr=0.1)
+    assert isinstance(blob, (bytes, bytearray))
+    call = load_encoder(bytes(blob))
+    z_exported = call(x, Wj)
+    z_direct = sparse_encode(x, Wj, 0.2, algorithm="ista", maxiter=200,
+                             tol=1e-8, lr=0.1)
+    np.testing.assert_allclose(np.asarray(z_exported),
+                               np.asarray(z_direct), atol=1e-5)
+
+
+def test_distributed_helpers_single_process():
+    from lasso_tpu.parallel.distributed import (initialize,
+                                                make_global_mesh,
+                                                process_local_batch)
+    assert initialize(num_processes=1) is False
+    mesh = make_global_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    lo, hi = process_local_batch(100)
+    assert (lo, hi) == (0, 100)
