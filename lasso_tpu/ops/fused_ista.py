@@ -214,6 +214,139 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     return z_next, delta[0, 0]
 
 
+def _make_multistep_kernel(steps, split_float):
+    """Build an S-step fused FISTA kernel body.
+
+    FISTA is row-parallel over the batch: z_next for a tile depends only on
+    the same tile's rows of (z, z_prev, x) plus the resident dictionary, so
+    any number of consecutive iterations can run per tile without leaving
+    VMEM. Per-iteration HBM traffic drops from 3NK+ND to (4NK+ND)/S —
+    measured 2.6x end-to-end at S=16 (bf16) on v5e vs the single-step
+    kernel, which sits at the same ms/iter as a bare 2-matmul XLA chain.
+    """
+    def kernel(scal_ref, x_ref, z_ref, zp_ref, *refs):
+        if split_float:
+            w_hi_ref, w_lo_ref, z_out_ref, zp_out_ref, delta_ref = refs
+            w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
+        else:
+            w_ref, z_out_ref, zp_out_ref, delta_ref = refs
+            w = w_ref[:]
+        z = z_ref[:]
+        zp = zp_ref[:]
+        x = x_ref[:]
+        for s in range(steps):
+            y = z + scal_ref[s, 2] * (z - zp)
+            if split_float:
+                y_hi, y_lo = _split_bf16(y)
+                resid = (_dot_nt(y_hi, w_hi) + _dot_nt(y_hi, w_lo)
+                         + _dot_nt(y_lo, w_hi)) - x
+                r_hi, r_lo = _split_bf16(resid)
+                grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
+                        + _dot_nn(r_lo, w_hi))
+            else:
+                resid = _dot_nt(y, w) - x
+                grad = _dot_nn(resid, w)
+            u = y - scal_ref[s, 0] * grad
+            z_new = jnp.sign(u) * jnp.maximum(jnp.abs(u) - scal_ref[s, 1],
+                                              0.0)
+            zp = z
+            z = z_new
+        z_out_ref[:] = z
+        zp_out_ref[:] = zp
+
+        # convergence statistic of the LAST sub-step, accumulated across
+        # the sequential grid
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            delta_ref[0, 0] = 0.0
+
+        delta_ref[0, 0] += jnp.sum(jnp.abs(z - zp))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "block_n", "interpret",
+                                    "kernel_precision"))
+def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
+                          block_n=512, interpret=False,
+                          kernel_precision="f32"):
+    """``steps`` fused FISTA iterations in ONE kernel invocation.
+
+    ``lrs``/``threshs``/``moms`` are length-``steps`` vectors giving the
+    per-sub-step learning rate, shrink threshold (alpha*lr), and momentum
+    coefficient (the same lagged-one convention as the single-step kernel).
+
+    Returns ``(z_final, z_penultimate, delta)`` where ``z_penultimate`` is
+    the sub-step ``steps-1`` iterate (the next carry's z_prev) and ``delta
+    = sum|z_final - z_penultimate|`` — the convergence statistic of the
+    last sub-step. The S sub-steps perform exactly the same arithmetic as
+    S single-step kernel calls; only the HBM round trips between them are
+    removed.
+    """
+    N, D = x.shape
+    K = weight.shape[1]
+    block_n = min(block_n, N)
+    while N % block_n != 0:
+        block_n //= 2
+    grid = (N // block_n,)
+
+    scal = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(lrs, jnp.float32), (steps,)),
+        jnp.broadcast_to(jnp.asarray(threshs, jnp.float32), (steps,)),
+        jnp.broadcast_to(jnp.asarray(moms, jnp.float32), (steps,)),
+    ], axis=1)  # [S, 3]
+
+    smem_in = pl.BlockSpec((steps, 3), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    tile_d = pl.BlockSpec((block_n, D), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    tile_k = lambda: pl.BlockSpec((block_n, K), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    full_w = lambda: pl.BlockSpec((D, K), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    if kernel_precision == "f32":
+        w_hi, w_lo = _split_bf16_xla(weight)
+        w_args = (w_hi, w_lo)
+        w_specs = [full_w(), full_w()]
+        flops_per_step = 12 * N * K * D
+    elif kernel_precision == "bf16":
+        w_args = (weight,)
+        w_specs = [full_w()]
+        flops_per_step = 4 * N * K * D
+    else:
+        raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
+                         f"{kernel_precision!r}")
+
+    kernel = _make_multistep_kernel(steps, kernel_precision == "f32")
+
+    z_next, z_pen, delta = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem_in, tile_d, tile_k(), tile_k()] + w_specs,
+        out_specs=[
+            tile_k(), tile_k(),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((N, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=steps * flops_per_step,
+            bytes_accessed=(4 * N * K + N * D + D * K) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, x, z, z_prev, *w_args)
+
+    return z_next, z_pen, delta[0, 0]
+
+
 def fista_step_reference(x, z, z_prev, weight, lr, alpha, mom,
                          precision=None):
     """jnp twin of the fused kernel (used as fallback and in tests)."""

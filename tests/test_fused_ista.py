@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import pytest
 
 from lasso_tpu.linear.solvers import ista
-from lasso_tpu.ops.fused_ista import (fista_step_reference, fused_fista_step,
+from lasso_tpu.ops.fused_ista import (fista_step_reference,
+                                      fused_fista_multistep,
+                                      fused_fista_step,
                                       supports_fused_step)
 
 
@@ -68,6 +70,52 @@ def test_ista_pallas_slow_path(rng):
                    use_pallas=False)
     np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_plain),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("kp", ["f32", "bf16"])
+def test_multistep_kernel_matches_repeated_single_steps(rng, kp):
+    """S fused sub-steps must perform the same arithmetic as S single-step
+    kernel calls (only the HBM round trips between them are removed)."""
+    x, z, zp, W = make_problem(rng)
+    lr, alpha = 0.25, 0.05
+    moms = jnp.asarray([0.0, 0.4, 0.55], jnp.float32)
+
+    z_m, zp_m, d_m = fused_fista_multistep(
+        x, z, zp, W, lr, alpha * lr, moms, steps=3, block_n=8,
+        interpret=True, kernel_precision=kp)
+
+    z_s, zp_s = z, zp
+    for s in range(3):
+        z_next, d_s = fused_fista_step(
+            x, z_s, zp_s, W, lr, alpha, moms[s], block_n=8,
+            interpret=True, kernel_precision=kp)
+        zp_s, z_s = z_s, z_next
+
+    np.testing.assert_allclose(np.asarray(z_m), np.asarray(z_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(zp_m), np.asarray(zp_s), atol=1e-6)
+    np.testing.assert_allclose(float(d_m), float(d_s), rtol=1e-5)
+
+
+def test_ista_fuse_steps_matches_single_step_path(rng):
+    """fuse_steps=4 with a remainder (maxiter=25 -> 6 blocks + 1 single
+    step) must reproduce the unfused trajectory."""
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    z_multi = ista(x, z0, W, 0.1, lr=0.1, maxiter=25, tol=0.0,
+                   use_pallas=True, fuse_steps=4)  # interpreted on CPU
+    z_plain = ista(x, z0, W, 0.1, lr=0.1, maxiter=25, tol=0.0,
+                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_multi), np.asarray(z_plain),
+                               atol=1e-4)
+
+
+def test_ista_fuse_steps_iteration_count(rng):
+    """The multi-step path must still execute exactly maxiter iterations."""
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    _, k = ista(x, z0, W, 0.1, lr=0.1, maxiter=25, tol=0.0,
+                use_pallas=True, fuse_steps=8, return_iters=True)
+    assert int(k) == 25
 
 
 def test_momentum_restructure_matches_reference_trajectory(rng):
