@@ -36,8 +36,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from lasso_tpu.linalg import lipschitz_constant
-    from lasso_tpu.ops.fused_ista import fused_fista_step, fista_step_reference
-    from lasso_tpu.ops.fused_ista import supports_fused_step
+    from lasso_tpu.ops.fused_ista import (fista_step_reference,
+                                          fused_fista_multistep,
+                                          supports_fused_step)
 
     rng = np.random.default_rng(0)
     x_np = rng.standard_normal((args.n, args.d)).astype(np.float32)
@@ -50,17 +51,31 @@ def main():
 
     fused = (jax.default_backend() == "tpu"
              and supports_fused_step(x, x @ W, W))
-    step_fn = fused_fista_step if fused else fista_step_reference
+    # multi-step in-VMEM fusion: largest divisor of the chunk size <= 32
+    S = next((s for s in range(min(32, args.chunk), 0, -1)
+              if args.chunk % s == 0), 1) if fused else 1
 
     @jax.jit
     def run_chunk(z, z_prev, t, mom):
         def body(_, carry):
             z, z_prev, t, mom = carry
-            z_next, _ = step_fn(x, z, z_prev, W, lr, args.alpha, mom)
-            t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            mom_next = (t - 1) / t_next
-            return (z_next, z, t_next, mom_next)
-        return jax.lax.fori_loop(0, args.chunk, body, (z, z_prev, t, mom))
+            moms = []
+            for _s in range(S):
+                moms.append(mom)
+                t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                mom = (t - 1) / t_next
+                t = t_next
+            if fused:
+                z_next, z_pen, _ = fused_fista_multistep(
+                    x, z, z_prev, W, lr, args.alpha * lr, jnp.stack(moms),
+                    steps=S)
+            else:
+                z_next, _ = fista_step_reference(x, z, z_prev, W, lr,
+                                                 args.alpha, moms[0])
+                z_pen = z
+            return (z_next, z_pen, t, mom)
+        return jax.lax.fori_loop(0, args.chunk // S, body,
+                                 (z, z_prev, t, mom))
 
     @jax.jit
     def objective(z):

@@ -74,8 +74,8 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=100,
          power_iters=500, precision=None, use_pallas="auto",
-         kernel_precision="f32", fuse_steps="auto", verbose=False,
-         return_iters=False):
+         kernel_precision="f32", fuse_steps="auto", axis_name=None,
+         verbose=False, return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -98,6 +98,12 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     earlier). A remainder loop runs any leftover ``maxiter % fuse_steps``
     iterations one step at a time.
 
+    ``axis_name``: when the solver runs inside ``jax.shard_map`` with the
+    batch sharded over a mesh axis, pass that axis name so the global
+    convergence statistic ``sum|dz| <= numel * tol`` is psum-reduced across
+    shards (preserving the reference's whole-batch stopping semantics; the
+    per-sample solves themselves need no communication).
+
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
     """
@@ -113,6 +119,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         lr = 1.0 / L
     lr = jnp.asarray(lr, x.dtype)
     tol_total = z0.size * tol
+    if axis_name is not None:
+        # global numel * tol: each shard contributes its local numel * tol
+        tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
 
     if use_pallas == "auto":
         fused = (jax.default_backend() == "tpu" and not backtrack
@@ -161,6 +170,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             y = z + mom * (z - z_prev)
             z_next = step(y)
             delta = jnp.sum(jnp.abs(z - z_next))
+        if axis_name is not None:
+            delta = lax.psum(delta, axis_name)
         done = delta <= tol_total
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
@@ -211,6 +222,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 x, z, z_prev, weight, lr, alpha * lr, jnp.stack(mom_list),
                 steps=S, interpret=interpret,
                 kernel_precision=kernel_precision)
+            if axis_name is not None:
+                delta = lax.psum(delta, axis_name)
             done = delta <= tol_total
             return (z_next, z_pen, t_c, m_c, k + S, done)
 

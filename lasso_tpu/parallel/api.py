@@ -1,9 +1,18 @@
 """Sharded entry points: data-parallel encoding and dictionary learning.
 
-These wrap the single-device API with mesh shardings; XLA turns the Gram
-matmuls of the ridge dictionary update into psum reductions over the 'data'
-axis and the solver's global convergence sums into cross-shard psums
-(SURVEY.md §2.3).
+Two routing strategies (SURVEY.md §2.3):
+
+* **shard_map route** (default for ISTA without atom sharding): the solver
+  body runs per-shard on local data with an explicit ``psum`` of the global
+  convergence statistic (``axis_name='data'``) and of the Z^T Z / Z^T X
+  Gram statistics in the dictionary update. This is the route that keeps
+  the fused Pallas kernel usable on multi-chip meshes — a ``pallas_call``
+  is a custom call that GSPMD cannot partition, so it must see the
+  per-device local shapes.
+* **GSPMD route** (everything else, incl. atom-sharded dictionaries): wrap
+  the single-device API in ``jax.jit`` with sharding annotations and let
+  XLA insert the collectives. Solvers other than ISTA are plain XLA
+  (matmuls + reductions), which GSPMD partitions well.
 """
 
 from __future__ import annotations
@@ -12,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from lasso_tpu.linear.dict_learning import lasso_loss, update_dict_ridge
 from lasso_tpu.linear.sparse_encode import sparse_encode
@@ -20,7 +30,7 @@ from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
 
 
 def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
-                         **kwargs):
+                         algorithm="ista", **kwargs):
     """Shard the batch over the mesh's 'data' axis and encode.
 
     Per-sample solves are independent; the only cross-device traffic is the
@@ -30,18 +40,27 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     w_sh = weight_sharding(mesh, shard_atoms)
     z_sh = code_sharding(mesh, shard_atoms)
 
-    fn = jax.jit(
-        partial(sparse_encode, alpha=alpha, **kwargs),
-        in_shardings=(x_sh, w_sh),
-        out_shardings=z_sh,
-    )
+    if algorithm == "ista" and not shard_atoms:
+        local = partial(sparse_encode, alpha=alpha, algorithm="ista",
+                        axis_name="data", **kwargs)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P()), out_specs=P("data"),
+            check_vma=False))
+    else:
+        fn = jax.jit(
+            partial(sparse_encode, alpha=alpha, algorithm=algorithm,
+                    **kwargs),
+            in_shardings=(x_sh, w_sh),
+            out_shardings=z_sh,
+        )
     x = jax.device_put(x, x_sh)
     weight = jax.device_put(weight, w_sh)
     return fn(x, weight)
 
 
 def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
-                    **solver_kwargs):
+                    algorithm="ista", **solver_kwargs):
     """One jitted EM step of unconstrained dictionary learning over a mesh.
 
     x is sharded over 'data'; W is replicated (or column-sharded over
@@ -51,8 +70,37 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
 
+    if algorithm == "ista" and not shard_atoms:
+        # shard_map route: explicit psum of the Gram statistics (the
+        # reference's update_dict_ridge math, dl.py:117-121, distributed by
+        # hand exactly as SURVEY.md §2.3 prescribes)
+        from lasso_tpu.config import get_precision
+        from lasso_tpu.linalg.basic import cholesky_solve
+        prec = get_precision()
+
+        def local_step(x, weight):
+            Z = sparse_encode(x, weight, alpha, algorithm="ista",
+                              axis_name="data", **solver_kwargs)
+            n_global = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype),
+                                    "data")
+            loss = jax.lax.psum(
+                lasso_loss(x, Z, weight, alpha) * x.shape[0], "data"
+            ) / n_global
+            rhs = jax.lax.psum(jnp.matmul(Z.T, x, precision=prec), "data")
+            M = jax.lax.psum(jnp.matmul(Z.T, Z, precision=prec), "data")
+            M = M + (lambd * n_global) * jnp.eye(M.shape[0], dtype=M.dtype)
+            W_new = cholesky_solve(rhs, jnp.linalg.cholesky(M)).T
+            return W_new, loss
+
+        jit_step = jax.jit(jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P("data"), P()), out_specs=(P(), P()),
+            check_vma=False))
+        return jit_step, (x_sh, w_sh)
+
     def step(x, weight):
-        Z = sparse_encode(x, weight, alpha, **solver_kwargs)
+        Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
+                          **solver_kwargs)
         loss = lasso_loss(x, Z, weight, alpha)
         W_new = update_dict_ridge(x, Z, lambd=lambd)
         return W_new, loss

@@ -88,6 +88,21 @@ def test_train_step_sharded_matches_local(rng, mesh8):
                                np.asarray(W_new_local), atol=1e-4)
 
 
+def test_data_parallel_encode_gspmd_route(rng, mesh8):
+    """Non-ISTA algorithms take the GSPMD route (jit + shardings). Greedy
+    CD's argmax coordinate pick is discontinuous, so reduction-order noise
+    under sharding can flip trajectories — compare objectives, not z."""
+    from lasso_tpu.linear import lasso_loss
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=500,
+                             tol=1e-8)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, algorithm="cd",
+                                   maxiter=500, tol=1e-8)
+    f_single = float(lasso_loss(x, z_single, W, 0.2))
+    f_shard = float(lasso_loss(x, jnp.asarray(np.asarray(z_shard)), W, 0.2))
+    np.testing.assert_allclose(f_shard, f_single, rtol=1e-4)
+
+
 def test_train_step_with_tp(rng, mesh_tp):
     x, W = make_problem(rng)
     step, (x_sh, w_sh) = make_train_step(mesh_tp, alpha=0.2,
