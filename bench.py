@@ -37,7 +37,7 @@ def main():
     # distinct inputs per repeat: repeated identical executions can be
     # served from an execution cache on some backends, inflating it/s
     xs = [jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
-          for _ in range(4)]
+          for _ in range(7)]
     W = jnp.asarray(
         (rng.standard_normal((D, K)) / np.sqrt(D)).astype(np.float32))
     z0 = jnp.zeros((N, K), jnp.float32)
@@ -57,7 +57,9 @@ def main():
     run(xs[0], z0, W).block_until_ready()
 
     times = []
-    for i in range(1, 4):
+    # min over 6 distinct-input repeats: the shared backend shows ~±15%
+    # run-to-run variance; min is the honest steady-state estimate
+    for i in range(1, 7):
         t0 = time.perf_counter()
         out = run(xs[i], z0, W)
         out.block_until_ready()
