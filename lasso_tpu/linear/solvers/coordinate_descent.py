@@ -26,11 +26,22 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 
 def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
-                  precision=None):
+                  precision=None, use_pallas="auto", kernel_precision="f32",
+                  fuse_steps=8):
     """Greedy batched CD (reference cd.py:5-54).
 
     x: [N, D], W: [D, K] -> z: [N, K]
+
+    On TPU backends the hot loop runs as a fused Pallas kernel
+    (:mod:`lasso_tpu.ops.fused_cd`): the data-dependent row gather
+    ``S[k, :]`` becomes a one-hot MXU matmul against a VMEM-resident S,
+    and ``fuse_steps`` iterations run per kernel invocation. The
+    per-sample active-set logic moves in-kernel, so fusion preserves the
+    reference's stopping semantics exactly (inactive samples are frozen).
+    ``use_pallas``: 'auto' / True / False as in :func:`ista`.
     """
+    from lasso_tpu.ops.fused_cd import fused_cd_steps, supports_fused_cd
+
     prec = get_precision(precision)
     input_dim, code_dim = W.shape
     batch_size = x.shape[0]
@@ -71,8 +82,41 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         z_out = jnp.where(mask, z_new, z)
         return (z_out, b_out, active_new, it + 1)
 
-    active0 = jnp.ones((batch_size,), dtype=bool)
-    z, b, _, _ = lax.while_loop(cond, body, (z0, b0, active0, jnp.asarray(0)))
+    if use_pallas == "auto":
+        fused = (jax.default_backend() == "tpu"
+                 and supports_fused_cd(b0, W))
+        interpret = False
+    elif use_pallas:
+        fused = supports_fused_cd(b0, W)
+        interpret = jax.default_backend() != "tpu"
+    else:
+        fused = False
+        interpret = False
+
+    T = max(1, int(fuse_steps)) if fused else 1
+
+    state = (z0, b0, jnp.ones((batch_size,), dtype=bool), jnp.asarray(0))
+
+    if fused and T > 1:
+        def cond_f(state):
+            _, _, act, it = state
+            return jnp.logical_and(jnp.any(act[:, 0] > 0),
+                                   it + T <= maxiter)
+
+        def body_f(state):
+            z, b, act, it = state
+            b_new, z_new, act_new = fused_cd_steps(
+                b, z, act, S, alpha, tol_k, steps=T,
+                interpret=interpret, kernel_precision=kernel_precision)
+            return (z_new, b_new, act_new, it + T)
+
+        z_c, b_c, act_c, it_c = lax.while_loop(
+            cond_f, body_f,
+            (z0, b0, jnp.ones((batch_size, 1), jnp.float32),
+             jnp.asarray(0)))
+        state = (z_c, b_c, act_c[:, 0] > 0, it_c)
+
+    z, b, _, _ = lax.while_loop(cond, body, state)
     return soft_threshold(b, alpha)
 
 

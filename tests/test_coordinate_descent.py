@@ -98,3 +98,45 @@ def test_cd_dispatch_via_sparse_encode(rng):
     z1 = sparse_encode(x, W, alpha, algorithm="cd", maxiter=200)
     z2 = sparse_encode(x, W, alpha, algorithm="cd-mod", max_iter=200)
     assert z1.shape == z2.shape == (6, 10)
+
+
+def test_fused_cd_kernel_matches_twin(rng):
+    """Interpreter-mode kernel must match the jnp twin (same split-gather
+    arithmetic) bit-for-bit up to f32 noise."""
+    from lasso_tpu.ops.fused_cd import cd_steps_reference, fused_cd_steps
+    n, d, k = 16, 24, 128  # K multiple of 128 for the fused path
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    b = jnp.matmul(x, W)
+    z = jnp.zeros((n, k), jnp.float32)
+    act = jnp.ones((n, 1), jnp.float32)
+    S = jnp.eye(k, dtype=jnp.float32) - W.T @ W
+    alpha, tol_k = 0.2, 1e-6 * k
+
+    b1, z1, a1 = fused_cd_steps(b, z, act, S, alpha, tol_k, steps=5,
+                                block_n=8, interpret=True)
+    b2, z2, a2 = cd_steps_reference(b, z, act, S, alpha, tol_k, steps=5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_greedy_cd_fused_path_matches_objective(rng):
+    """The fused solver path must reach the same objective as the XLA path
+    (trajectories may diverge through argmax ties under split-gather
+    rounding; the optimum is what matters)."""
+    n, d, k = 24, 16, 128
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    alpha = 0.3
+    z_fused = coord_descent(x, W, alpha=alpha, maxiter=500, tol=1e-9,
+                            use_pallas=True, fuse_steps=8)
+    z_plain = coord_descent(x, W, alpha=alpha, maxiter=500, tol=1e-9,
+                            use_pallas=False)
+    f_fused = lasso_objective(x, W, z_fused, alpha)
+    f_plain = lasso_objective(x, W, z_plain, alpha)
+    np.testing.assert_allclose(f_fused, f_plain, rtol=1e-4)
