@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Dictionary-learning training throughput: EM steps/s on the TPU.
+
+One EM step = sparse_encode E-step (fixed FISTA iterations, fused Pallas
+multi-step kernel) + M-step (ridge: psum-able Gram solve; constrained:
+sequential per-atom scan). Distinct inputs per repeat, forced readback.
+
+Prints one JSON line per M-step variant.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--d", type=int, default=256)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--alpha", type=float, default=0.1)
+    ap.add_argument("--em-steps", type=int, default=10)
+    ap.add_argument("--solver-iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from lasso_tpu.linear import dict_learning
+
+    rng = np.random.default_rng(0)
+    Xs = [jnp.asarray(rng.standard_normal((args.n, args.d)), jnp.float32)
+          for _ in range(3)]
+
+    for constrained in (False, True):
+        run = jax.jit(lambda X, c=constrained: dict_learning(
+            X, n_components=args.k, alpha=args.alpha, constrained=c,
+            steps=args.em_steps, maxiter=args.solver_iters, tol=0.0,
+            lr=0.05, key=jax.random.PRNGKey(0)))
+        W, losses = run(Xs[0])
+        jax.block_until_ready((W, losses))
+        ts = []
+        for X in Xs:
+            t0 = time.perf_counter()
+            W, losses = run(X)
+            float(losses[-1])  # force readback
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(json.dumps({
+            "metric": "dict_learning EM steps/s",
+            "m_step": "constrained" if constrained else "ridge",
+            "config": f"{args.n}x({args.d}->{args.k}), "
+                      f"{args.solver_iters} FISTA iters/E-step",
+            "em_steps_per_s": round(args.em_steps / best, 3),
+            "loss_first_last": [round(float(losses[0]), 4),
+                                round(float(losses[-1]), 4)],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
