@@ -37,11 +37,16 @@ def main():
     Xs = [jnp.asarray(rng.standard_normal((args.n, args.d)), jnp.float32)
           for _ in range(3)]
 
-    for constrained in (False, True):
-        run = jax.jit(lambda X, c=constrained: dict_learning(
-            X, n_components=args.k, alpha=args.alpha, constrained=c,
+    variants = [("ridge", dict(constrained=False)),
+                ("constrained-sequential",
+                 dict(constrained=True, dict_update="sequential")),
+                ("constrained-block",
+                 dict(constrained=True, dict_update="block"))]
+    for name, kw in variants:
+        run = jax.jit(lambda X, kw=kw: dict_learning(
+            X, n_components=args.k, alpha=args.alpha,
             steps=args.em_steps, maxiter=args.solver_iters, tol=0.0,
-            lr=0.05, key=jax.random.PRNGKey(0)))
+            lr=0.05, key=jax.random.PRNGKey(0), **kw))
         W, losses = run(Xs[0])
         jax.block_until_ready((W, losses))
         ts = []
@@ -53,7 +58,7 @@ def main():
         best = min(ts)
         print(json.dumps({
             "metric": "dict_learning EM steps/s",
-            "m_step": "constrained" if constrained else "ridge",
+            "m_step": name,
             "config": f"{args.n}x({args.d}->{args.k}), "
                       f"{args.solver_iters} FISTA iters/E-step",
             "em_steps_per_s": round(args.em_steps / best, 3),

@@ -15,13 +15,14 @@ from lasso_tpu import (config, conv2d, linalg, linear, nonlinear, ops,
 from lasso_tpu.conjgrad import batch_cg, batch_cg_conv2d, cg, conjgrad
 from lasso_tpu.linear import (dict_evaluate, dict_learning, initialize_code,
                               lasso_loss, sparse_encode, update_dict,
-                              update_dict_ridge)
+                              update_dict_block, update_dict_ridge)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "linear", "nonlinear", "conv2d", "ops", "linalg", "parallel", "utils",
     "config", "sparse_encode", "initialize_code", "dict_learning",
-    "dict_evaluate", "lasso_loss", "update_dict", "update_dict_ridge",
+    "dict_evaluate", "lasso_loss", "update_dict", "update_dict_block",
+    "update_dict_ridge",
     "conjgrad", "cg", "batch_cg", "batch_cg_conv2d",
 ]

@@ -1,10 +1,12 @@
 from lasso_tpu.linear import solvers, utils
 from lasso_tpu.linear.dict_learning import (dict_evaluate, dict_learning,
                                             lasso_loss, update_dict,
+                                            update_dict_block,
                                             update_dict_ridge)
 from lasso_tpu.linear.sparse_encode import initialize_code, sparse_encode
 
 __all__ = [
     "sparse_encode", "initialize_code", "dict_learning", "dict_evaluate",
-    "lasso_loss", "update_dict", "update_dict_ridge", "solvers", "utils",
+    "lasso_loss", "update_dict", "update_dict_block", "update_dict_ridge",
+    "solvers", "utils",
 ]

@@ -95,3 +95,54 @@ def test_dict_learning_persist_runs(rng):
     W, losses = dict_learning(X, n_components=12, alpha=0.1, persist=True,
                               constrained=False, steps=6, maxiter=100)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_update_dict_block_unit_norm_and_improves_loss(rng):
+    """Block-parallel constrained M-step: unit-norm atoms, loss no worse
+    than before the update on the same codes."""
+    from lasso_tpu.linear import lasso_loss, sparse_encode, update_dict_block
+    n, d, k = 48, 12, 24
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    Z = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=300, tol=1e-8)
+    W_new, Z_new = update_dict_block(W, x, Z, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(W_new), axis=0), 1.0, atol=1e-5)
+    # re-encoding under the updated dictionary must not be worse
+    Z2 = sparse_encode(x, W_new, 0.2, algorithm="ista", maxiter=300,
+                       tol=1e-8)
+    f_old = float(lasso_loss(x, Z, W, 0.2))
+    f_new = float(lasso_loss(x, Z2, W_new, 0.2))
+    assert f_new <= f_old * 1.01, (f_new, f_old)
+
+
+def test_update_dict_block_degenerate_atom_rerandomized(rng):
+    from lasso_tpu.linear import update_dict_block
+    n, d, k = 32, 8, 12
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    Z = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    Z = Z.at[:, 3].set(0.0)  # atom 3 unused -> ridge fit column ~0... 
+    # force degeneracy directly: zero codes make the ridge solution for
+    # that column the zero vector only when its cross terms vanish; use a
+    # tiny eps to catch near-zero columns
+    W_new, Z_new = update_dict_block(W, x, Z, key=jax.random.PRNGKey(0),
+                                     eps=1e-3)
+    norms = np.linalg.norm(np.asarray(W_new), axis=0)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(W_new)))
+
+
+def test_dict_learning_block_update_loss_decreases(rng):
+    from lasso_tpu.linear import dict_learning
+    x = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    W, losses = dict_learning(x, n_components=24, alpha=0.2,
+                              constrained=True, dict_update="block",
+                              steps=8, maxiter=100, tol=1e-7,
+                              key=jax.random.PRNGKey(0))
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(W), axis=0), 1.0, atol=1e-5)
