@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Whole-suite solver benchmark: every linear solver timed on one problem.
+
+For each algorithm: wall-clock of a converged solve (its own stopping
+rule), the final lasso objective, and the KKT violation — so speed claims
+are tied to solution quality. Distinct inputs per repeat, forced readback.
+
+``--reference`` also times the pytorch-lasso equivalents on CPU.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+CONFIGS = {
+    "ista": dict(maxiter=2000, tol=1e-7),
+    "cd": dict(maxiter=2000, tol=1e-9),
+    "cd-mod": dict(max_iter=100, tol=1e-6),
+    "gpsr": dict(maxiter=500, tol=1e-4),
+    "iter-ridge": dict(maxiter=200, tol=1e-7),
+    "interior-point": dict(maxiter=40, tol=1e-6),
+    "split-bregman": dict(maxiter=200, tol=1e-7),
+    "own": dict(maxiter=200, xtol=1e-6),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--k", type=int, default=512)
+    ap.add_argument("--alpha", type=float, default=0.2)
+    ap.add_argument("--reference", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from lasso_tpu.linear import sparse_encode
+    from _oracles import kkt_violation, lasso_objective
+
+    rng = np.random.default_rng(0)
+    xs_np = [rng.standard_normal((args.n, args.d)).astype(np.float32)
+             for _ in range(3)]
+    W_np = rng.standard_normal((args.d, args.k)).astype(np.float32)
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    W = jnp.asarray(W_np)
+    xs = [jnp.asarray(x) for x in xs_np]
+
+    for algo, kw in CONFIGS.items():
+        try:
+            run = jax.jit(partial(sparse_encode, alpha=args.alpha,
+                                  algorithm=algo, **kw))
+            out = run(xs[0], W)
+            z = out[0] if isinstance(out, tuple) else out
+            jax.block_until_ready(z)
+            ts = []
+            for x in xs:
+                t0 = time.perf_counter()
+                out = run(x, W)
+                z = out[0] if isinstance(out, tuple) else out
+                float(z[0, 0])
+                ts.append(time.perf_counter() - t0)
+            z_np = np.asarray(z)
+            print(json.dumps({
+                "system": f"lasso_tpu[{jax.default_backend()}]",
+                "algorithm": algo,
+                "config": f"{args.n}x({args.d}->{args.k})",
+                "seconds": round(min(ts), 4),
+                "objective": round(float(
+                    lasso_objective(xs_np[-1], W_np, z_np, args.alpha)), 3),
+                "kkt_violation": round(float(
+                    kkt_violation(xs_np[-1], W_np, z_np, args.alpha)), 5),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"algorithm": algo, "error":
+                              str(e).splitlines()[0][:120]}), flush=True)
+
+    if args.reference:
+        from _oracles import load_reference
+        lasso = load_reference()
+        import torch
+        ref_map = {
+            "ista": ("ista", dict(maxiter=2000, tol=1e-7)),
+            "cd": ("coord_descent", dict(maxiter=2000, tol=1e-9)),
+            "iter-ridge": ("iterative_ridge", dict(maxiter=200, tol=1e-7)),
+            "interior-point": ("interior_point", dict(maxiter=40, tol=1e-6)),
+            "split-bregman": ("split_bregman", dict(maxiter=200, tol=1e-7)),
+            "own": ("orthant_wise_newton", dict(maxiter=200, xtol=1e-6)),
+        }
+        xt = torch.from_numpy(xs_np[-1])
+        Wt = torch.from_numpy(W_np)
+        for algo, (name, kw) in ref_map.items():
+            try:
+                t0 = time.perf_counter()
+                z = lasso.linear.sparse_encode(
+                    xt, Wt, alpha=args.alpha, algorithm=algo, **kw)
+                dt = time.perf_counter() - t0
+                z_np = z.numpy()
+                print(json.dumps({
+                    "system": "pytorch-lasso[cpu]",
+                    "algorithm": algo,
+                    "config": f"{args.n}x({args.d}->{args.k})",
+                    "seconds": round(dt, 4),
+                    "objective": round(float(
+                        lasso_objective(xs_np[-1], W_np, z_np,
+                                        args.alpha)), 3),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "system": "pytorch-lasso[cpu]", "algorithm": algo,
+                    "error": str(e).splitlines()[0][:120]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ from lasso_tpu.linalg.line_search import golden_section
 def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
                     eps=None, maxiter=10, line_search=True, cg=False,
                     cg_options=None, ls_maxiter=30, per_sample_ls=False,
-                    precision=None):
+                    woodbury="auto", woodbury_solver="cg", precision=None):
     """Iterated ridge (reference iterative_ridge.py:11-141).
 
     z0: [B, K] (ridge init recommended), x: [B, D], weight: [D, K].
@@ -41,6 +41,21 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
     ``per_sample_ls=True`` upgrades the reference's batch-shared scalar
     line search to an independent step size per sample (same cost: the
     golden-section trials are elementwise either way).
+
+    ``woodbury``: the ridge subproblem solves per-sample systems
+    ``(diag(d) + (mW)^T (mW)) u = r`` of size K. For overcomplete
+    dictionaries (D < K) the Woodbury identity turns each into a D-sized
+    solve, ``u = q - (m/d) * (W^T C^{-1} W q)`` with
+    ``C = I_D + W diag(m/d) W^T`` — mathematically identical and far
+    cheaper. Crucially the ill-conditioning inverts: the huge
+    ``alpha/|z|`` diagonal entries of the K-system become *small*
+    ``|z|/alpha`` weights in C, so C is benignly conditioned and a short
+    matrix-free CG (``woodbury_solver='cg'``, default; pure batched
+    matmuls, C never materialized) solves it to ~1e-6 in <= D steps;
+    ``'cholesky'`` builds [B,D,D] and factorizes instead. 'auto' uses
+    Woodbury when D < K and ``cg=False``; True/False force. Frozen
+    coordinates (|z| < eps) fall out naturally: zero rhs, zero
+    U-columns, tikhonov diagonal.
     """
     if tikhonov < 1e-5:
         warnings.warn("small regularization value %0.4e may lead to "
@@ -71,6 +86,10 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
         diag = jnp.where(is_zero, 0.0, alpha / jnp.where(is_zero, 1.0, zmag))
         rhs_k = jnp.where(is_zero, 0.0, rhs)
 
+        use_woodbury = (not cg) and (
+            woodbury is True
+            or (woodbury == "auto" and weight.shape[0] < weight.shape[1]))
+
         if cg:
             def Adot(v):
                 Av = jnp.matmul(jnp.where(is_zero, 0.0, v), A, precision=prec)
@@ -78,6 +97,34 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
                 return Av + (diag + tikhonov) * v
             dot = lambda u, v: jnp.sum(u * v, axis=1, keepdims=True)
             z_sol = conjgrad(rhs_k, Adot, dot, **cg_options)
+        elif use_woodbury:
+            D_feat = weight.shape[0]
+            d_all = diag + tikhonov                      # [B, K]
+            md = jnp.where(is_zero, 0.0, 1.0 / d_all)    # m / d
+            q = rhs_k / d_all                            # D^{-1} r
+            t1 = jnp.matmul(jnp.where(is_zero, 0.0, q), weight.T,
+                            precision=prec)              # U D^{-1} r  [B, D]
+            if woodbury_solver == "cg":
+                # matrix-free: C v = v + W ((m/d) * (W^T v)); exact CG
+                # terminates in <= D steps, and C's benign conditioning
+                # (identity + bounded PSD) gets ~1e-6 well before that
+                def Cdot(v):
+                    t = jnp.matmul(v, weight, precision=prec) * md
+                    return v + jnp.matmul(t, weight.T, precision=prec)
+                dotD = lambda u, v: jnp.sum(u * v, axis=1, keepdims=True)
+                s = conjgrad(t1, Cdot, dotD,
+                             maxiter=min(D_feat, 64), tol=0.0, rtol=0.0)
+            elif woodbury_solver == "cholesky":
+                # C = I_D + W diag(m/d) W^T, per sample  [B, D, D]
+                tmp = weight[None, :, :] * md[:, None, :]    # [B, D, K]
+                C = jnp.matmul(tmp, weight.T, precision=prec)
+                C = C + jnp.eye(D_feat, dtype=C.dtype)
+                s = batch_cholesky_solve(t1, C)              # [B, D]
+            else:
+                raise ValueError(f"woodbury_solver must be 'cg' or "
+                                 f"'cholesky', got {woodbury_solver!r}")
+            corr = md * jnp.matmul(s, weight, precision=prec)
+            z_sol = q - corr
         else:
             mask2 = is_zero[:, :, None] | is_zero[:, None, :]
             A_k = jnp.where(mask2, 0.0, A[None, :, :])
