@@ -70,7 +70,7 @@ def cholesky_solve(b, L):
     return solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
 
 
-def batch_cholesky_solve(b, A):
+def batch_cholesky_solve(b, A, use_pallas="auto"):
     """Solve a batch of PSD systems ``A_k x_k = b_k``.
 
     b: [B, D], A: [B, D, D] -> x: [B, D]
@@ -80,12 +80,38 @@ def batch_cholesky_solve(b, A):
     ``lax.cond`` on finiteness of the batched factor, choosing
     ``jnp.linalg.solve`` for the whole batch (same batch-global semantics
     as the reference).
+
+    On TPU, small aligned problems route to the lane-parallel Pallas
+    Cholesky (:mod:`lasso_tpu.ops.batched_cholesky`, batch on the lane
+    axis — ~2x over XLA's batched cholesky+triangular_solve), with the
+    same NaN-on-non-PD + fallback semantics.
     """
     assert b.ndim == 2 and A.ndim == 3, (b.shape, A.shape)
-    L = jnp.linalg.cholesky(A)
-    ok = jnp.all(jnp.isfinite(L))
+    from lasso_tpu.ops.batched_cholesky import (batch_cholesky_solve_lanes,
+                                                supports_lanes_cholesky)
+
+    if use_pallas == "auto":
+        lanes = (jax.default_backend() == "tpu"
+                 and supports_lanes_cholesky(b, A))
+        interpret = False
+    elif use_pallas:
+        lanes = supports_lanes_cholesky(b, A)
+        interpret = jax.default_backend() != "tpu"
+    else:
+        lanes = False
+        interpret = False
 
     b3 = b[:, :, None]
+
+    if lanes:
+        x = batch_cholesky_solve_lanes(b, A, interpret=interpret)
+        ok = jnp.all(jnp.isfinite(x))
+        return lax.cond(ok, lambda _: x,
+                        lambda _: jnp.linalg.solve(A, b3)[:, :, 0],
+                        operand=None)
+
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.all(jnp.isfinite(L))
 
     def chol_path(_):
         return cholesky_solve(b3, L)

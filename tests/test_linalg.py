@@ -135,3 +135,47 @@ def test_golden_section_jittable():
         lambda t: jnp.cos(t), 0.0, 2 * jnp.pi, maxiter=50))
     t, _ = f()
     assert abs(float(t) - np.pi) < 1e-3
+
+
+def test_lanes_cholesky_kernel_matches_solve(rng):
+    """Lane-parallel Pallas Cholesky solve (interpret mode) vs dense
+    solve, including the NaN-on-non-PD contract."""
+    from lasso_tpu.ops.batched_cholesky import batch_cholesky_solve_lanes
+    B, D = 16, 12
+    A = rng.standard_normal((B, D, D)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1) + 2 * np.eye(D, dtype=np.float32)
+    b = rng.standard_normal((B, D)).astype(np.float32)
+    x = batch_cholesky_solve_lanes(jnp.asarray(b), jnp.asarray(A),
+                                   interpret=True)
+    x_ref = np.stack([np.linalg.solve(A[i], b[i]) for i in range(B)])
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-5)
+
+    # non-PD input -> NaNs (the caller's fallback trigger)
+    A_bad = np.array(A)
+    A_bad[3] = -np.eye(D, dtype=np.float32)
+    x_bad = batch_cholesky_solve_lanes(jnp.asarray(b), jnp.asarray(A_bad),
+                                       interpret=True)
+    assert not np.all(np.isfinite(np.asarray(x_bad)))
+
+
+def test_batch_cholesky_solve_pallas_route(rng):
+    """batch_cholesky_solve(use_pallas=True) must agree with the XLA route
+    and keep the LU fallback for non-PD batches."""
+    from lasso_tpu.linalg.basic import batch_cholesky_solve
+    B, D = 16, 8
+    A = rng.standard_normal((B, D, D)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1) + 2 * np.eye(D, dtype=np.float32)
+    b = rng.standard_normal((B, D)).astype(np.float32)
+    x_p = batch_cholesky_solve(jnp.asarray(b), jnp.asarray(A),
+                               use_pallas=True)
+    x_x = batch_cholesky_solve(jnp.asarray(b), jnp.asarray(A),
+                               use_pallas=False)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x), atol=1e-5)
+
+    # indefinite matrix in the batch -> whole batch takes the LU fallback
+    A_bad = np.array(A)
+    A_bad[0] = A_bad[0] - 10 * np.eye(D, dtype=np.float32)
+    x_p = batch_cholesky_solve(jnp.asarray(b), jnp.asarray(A_bad),
+                               use_pallas=True)
+    x_ref = np.stack([np.linalg.solve(A_bad[i], b[i]) for i in range(B)])
+    np.testing.assert_allclose(np.asarray(x_p), x_ref, atol=1e-4)
