@@ -1,3 +1,4 @@
+from lasso_tpu.utils.chunked import chunked_encode
 from lasso_tpu.utils.checkpoint import (dict_learning_resumable,
                                         latest_step, restore_checkpoint,
                                         save_checkpoint)
@@ -10,5 +11,5 @@ __all__ = [
     "save_checkpoint", "restore_checkpoint", "latest_step",
     "dict_learning_resumable", "SolverConfig", "CONFIGS", "config_for",
     "trace", "capture_trace", "time_solver", "debug_nans",
-    "export_encoder", "load_encoder",
+    "export_encoder", "load_encoder", "chunked_encode",
 ]

@@ -109,3 +109,18 @@ def test_distributed_helpers_single_process():
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
     lo, hi = process_local_batch(100)
     assert (lo, hi) == (0, 100)
+
+
+def test_chunked_encode_matches_direct(rng):
+    from lasso_tpu.linear import sparse_encode
+    from lasso_tpu.utils import chunked_encode
+    n, d, k = 50, 12, 20  # deliberately not a multiple of the chunk size
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    z_direct = np.asarray(sparse_encode(
+        jnp.asarray(x), jnp.asarray(W), 0.2, algorithm="ista",
+        maxiter=300, tol=0.0))
+    z_chunked = chunked_encode(x, W, alpha=0.2, chunk_size=16,
+                               algorithm="ista", maxiter=300, tol=0.0)
+    np.testing.assert_allclose(z_chunked, z_direct, atol=1e-5)
