@@ -89,17 +89,10 @@ def batch_cholesky_solve(b, A, use_pallas="auto"):
     assert b.ndim == 2 and A.ndim == 3, (b.shape, A.shape)
     from lasso_tpu.ops.batched_cholesky import (batch_cholesky_solve_lanes,
                                                 supports_lanes_cholesky)
+    from lasso_tpu.ops.common import resolve_pallas
 
-    if use_pallas == "auto":
-        lanes = (jax.default_backend() == "tpu"
-                 and supports_lanes_cholesky(b, A))
-        interpret = False
-    elif use_pallas:
-        lanes = supports_lanes_cholesky(b, A)
-        interpret = jax.default_backend() != "tpu"
-    else:
-        lanes = False
-        interpret = False
+    lanes, interpret = resolve_pallas(use_pallas,
+                                      supports_lanes_cholesky(b, A))
 
     b3 = b[:, :, None]
 

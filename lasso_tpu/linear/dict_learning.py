@@ -148,7 +148,8 @@ def update_dict_ridge(x, z, lambd=1e-4, precision=None):
 
 def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
                   lambd=1e-2, steps=60, key=None, algorithm="ista",
-                  dict_update="sequential", progbar=False, **solver_kwargs):
+                  dict_update="sequential", block_lambd=1e-6, progbar=False,
+                  **solver_kwargs):
     """Alternating sparse-coding / dictionary-update EM loop
     (reference dl.py:23-53).
 
@@ -162,6 +163,10 @@ def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
     (joint ridge fit + renormalization + degenerate-atom re-init —
     order-free and ~2.5x faster at production sizes; see
     :func:`update_dict_block`). Ignored when ``constrained=False``.
+    ``lambd`` regularizes the unconstrained ridge M-step (scaled by N);
+    ``block_lambd`` is the block M-step's small stabilizing ridge — kept
+    separate because the block fit is renormalized to unit columns, so
+    it wants a much weaker ridge than the unconstrained Newton step.
     """
     if dict_update not in ("sequential", "block"):
         raise ValueError(f"dict_update must be 'sequential' or 'block', "
@@ -190,7 +195,8 @@ def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
         if constrained and dict_update == "sequential":
             weight_new, Z = update_dict(weight, X, Z, key=step_key)
         elif constrained:
-            weight_new, Z = update_dict_block(weight, X, Z, key=step_key)
+            weight_new, Z = update_dict_block(weight, X, Z, key=step_key,
+                                              lambd=block_lambd)
         else:
             weight_new = update_dict_ridge(X, Z, lambd=lambd)
         return (weight_new, Z), loss

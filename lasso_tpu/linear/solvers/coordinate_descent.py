@@ -82,16 +82,8 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         z_out = jnp.where(mask, z_new, z)
         return (z_out, b_out, active_new, it + 1)
 
-    if use_pallas == "auto":
-        fused = (jax.default_backend() == "tpu"
-                 and supports_fused_cd(b0, W))
-        interpret = False
-    elif use_pallas:
-        fused = supports_fused_cd(b0, W)
-        interpret = jax.default_backend() != "tpu"
-    else:
-        fused = False
-        interpret = False
+    from lasso_tpu.ops.common import resolve_pallas
+    fused, interpret = resolve_pallas(use_pallas, supports_fused_cd(b0, W))
 
     T = max(1, int(fuse_steps)) if fused else 1
 

@@ -123,15 +123,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         # global numel * tol: each shard contributes its local numel * tol
         tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
 
-    if use_pallas == "auto":
-        fused = (jax.default_backend() == "tpu" and not backtrack
-                 and supports_fused_step(x, z0, weight))
-        interpret = False
-    elif use_pallas:
-        fused = not backtrack and supports_fused_step(x, z0, weight)
-        interpret = jax.default_backend() != "tpu"
-    else:
-        fused, interpret = False, False
+    from lasso_tpu.ops.common import resolve_pallas
+    fused, interpret = resolve_pallas(
+        use_pallas, not backtrack and supports_fused_step(x, z0, weight))
 
     def rss_grad(z_k):
         resid = jnp.matmul(z_k, weight.T, precision=prec) - x
@@ -181,9 +175,12 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             mom_next = mom  # stays 0
         return (z_next, z, t_next, mom_next, k + 1, done)
 
-    if fuse_steps == "auto":
-        if (fused and isinstance(tol, (int, float)) and tol == 0.0
-                and not verbose):
+    if verbose:
+        # per-iteration loss prints live in the single-step body; fused
+        # blocks would silently drop them (reference prints every iter)
+        S = 1
+    elif fuse_steps == "auto":
+        if fused and isinstance(tol, (int, float)) and tol == 0.0:
             # prefer the largest S <= 32 that divides maxiter (no
             # single-step remainder tail); fall back to 16-with-remainder
             # when maxiter has no usable divisor

@@ -33,7 +33,8 @@ from lasso_tpu.linalg.line_search import golden_section
 def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
                     eps=None, maxiter=10, line_search=True, cg=False,
                     cg_options=None, ls_maxiter=30, per_sample_ls=False,
-                    woodbury="auto", woodbury_solver="cg", precision=None):
+                    woodbury="auto", woodbury_solver="cg",
+                    woodbury_cg_iters=None, precision=None):
     """Iterated ridge (reference iterative_ridge.py:11-141).
 
     z0: [B, K] (ridge init recommended), x: [B, D], weight: [D, K].
@@ -48,18 +49,23 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
     solve, ``u = q - (m/d) * (W^T C^{-1} W q)`` with
     ``C = I_D + W diag(m/d) W^T`` — mathematically identical and far
     cheaper. Crucially the ill-conditioning inverts: the huge
-    ``alpha/|z|`` diagonal entries of the K-system become *small*
-    ``|z|/alpha`` weights in C, so C is benignly conditioned and a short
-    matrix-free CG (``woodbury_solver='cg'``, default; pure batched
-    matmuls, C never materialized) solves it to ~1e-6 in <= D steps;
-    ``'cholesky'`` builds [B,D,D] and factorizes instead. 'auto' uses
-    Woodbury when D < K and ``cg=False``; True/False force. Frozen
+    ``alpha/|z|`` diagonal entries of the K-system become ``m/d``
+    weights bounded by ``1/tikhonov`` in C, so C is far better
+    conditioned and a matrix-free CG (``woodbury_solver='cg'``, default;
+    pure batched matmuls, C never materialized; ``woodbury_cg_iters``
+    caps the iterations, default ``min(2D, 256)``, rtol=1e-6 early
+    exit) solves it; ``'cholesky'`` builds [B,D,D] and factorizes
+    instead. 'auto' uses Woodbury when D < K and ``cg=False``;
+    True/False force (True conflicts with ``cg=True``). Frozen
     coordinates (|z| < eps) fall out naturally: zero rhs, zero
     U-columns, tikhonov diagonal.
     """
     if tikhonov < 1e-5:
         warnings.warn("small regularization value %0.4e may lead to "
                       "imprecise results." % tikhonov)
+    if cg and woodbury is True:
+        raise ValueError("cg=True and woodbury=True are mutually exclusive "
+                         "subproblem solvers; pick one.")
     if cg and cg_options is None:
         cg_options = {}
     prec = get_precision(precision)
@@ -105,15 +111,20 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
             t1 = jnp.matmul(jnp.where(is_zero, 0.0, q), weight.T,
                             precision=prec)              # U D^{-1} r  [B, D]
             if woodbury_solver == "cg":
-                # matrix-free: C v = v + W ((m/d) * (W^T v)); exact CG
-                # terminates in <= D steps, and C's benign conditioning
-                # (identity + bounded PSD) gets ~1e-6 well before that
+                # matrix-free: C v = v + W ((m/d) * (W^T v)). C's spectrum
+                # lives in [1, 1 + lam_max(W diag(m/d) W^T)] with m/d
+                # bounded by 1/tikhonov, so kappa(C) <= 1 + lam_max/tik —
+                # far better than the K-system's alpha/|z| spikes. Exact
+                # CG terminates in <= D steps; the rtol exit usually
+                # fires much earlier.
                 def Cdot(v):
                     t = jnp.matmul(v, weight, precision=prec) * md
                     return v + jnp.matmul(t, weight.T, precision=prec)
                 dotD = lambda u, v: jnp.sum(u * v, axis=1, keepdims=True)
+                iters = (woodbury_cg_iters if woodbury_cg_iters is not None
+                         else min(2 * D_feat, 256))
                 s = conjgrad(t1, Cdot, dotD,
-                             maxiter=min(D_feat, 64), tol=0.0, rtol=0.0)
+                             maxiter=iters, tol=0.0, rtol=1e-6)
             elif woodbury_solver == "cholesky":
                 # C = I_D + W diag(m/d) W^T, per sample  [B, D, D]
                 tmp = weight[None, :, :] * md[:, None, :]    # [B, D, K]

@@ -41,8 +41,20 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     z_sh = code_sharding(mesh, shard_atoms)
 
     if algorithm == "ista" and not shard_atoms:
+        # per-sample arrays (z0 warm starts) must enter shard_map as
+        # explicit 'data'-sharded operands, not closed-over globals —
+        # the local body sees per-device shapes
+        z0 = kwargs.pop("z0", None)
         local = partial(sparse_encode, alpha=alpha, algorithm="ista",
                         axis_name="data", **kwargs)
+        if z0 is not None:
+            fn_z0 = jax.jit(jax.shard_map(
+                lambda x, w, z0: local(x, w, z0=z0), mesh=mesh,
+                in_specs=(P("data"), P(), P("data")), out_specs=P("data"),
+                check_vma=False))
+            x = jax.device_put(x, x_sh)
+            weight = jax.device_put(weight, w_sh)
+            return fn_z0(x, weight, jax.device_put(z0, z_sh))
         fn = jax.jit(jax.shard_map(
             local, mesh=mesh,
             in_specs=(P("data"), P()), out_specs=P("data"),

@@ -44,14 +44,18 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
 
     N = x.shape[0]
     K = weight.shape[1]
-    chunk_size = min(chunk_size, N)
     weight = jnp.asarray(weight)
+    # codes follow x's dtype (sparse_encode initializes z0 as x.dtype)
+    out_dtype = np.asarray(x[:0]).dtype
+
+    if out is None:
+        out = np.empty((N, K), dtype=out_dtype)
+    if N == 0:
+        return out
+    chunk_size = min(chunk_size, N)
 
     run = jax.jit(partial(sparse_encode, alpha=alpha, algorithm=algorithm,
                           **kwargs))
-
-    if out is None:
-        out = np.empty((N, K), dtype=np.asarray(weight.dtype.type(0)).dtype)
 
     for start in range(0, N, chunk_size):
         stop = min(start + chunk_size, N)

@@ -93,3 +93,12 @@ def test_woodbury_path_matches_dense_cholesky(rng):
     f_w = lasso_objective(np.asarray(x), np.asarray(W), np.asarray(z_w), 0.3)
     f_c = lasso_objective(np.asarray(x), np.asarray(W), np.asarray(z_c), 0.3)
     np.testing.assert_allclose(f_w, f_c, rtol=1e-4)
+
+
+def test_cg_and_forced_woodbury_conflict(rng):
+    from lasso_tpu.linear.solvers import iterative_ridge
+    x = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((6, 10)), jnp.float32)
+    z0 = jnp.zeros((4, 10), jnp.float32)
+    with pytest.raises(ValueError):
+        iterative_ridge(z0, x, W, alpha=0.1, cg=True, woodbury=True)

@@ -110,3 +110,18 @@ def test_train_step_with_tp(rng, mesh_tp):
     W_new, loss = step(jax.device_put(x, x_sh), jax.device_put(W, w_sh))
     assert np.isfinite(float(loss))
     assert W_new.shape == W.shape
+
+
+def test_data_parallel_encode_with_z0_warm_start(rng, mesh8):
+    """z0 must flow into shard_map as a 'data'-sharded operand, not a
+    closed-over global (regression: AssertionError on local shapes)."""
+    x, W = make_problem(rng)
+    z0 = jnp.asarray(
+        rng.standard_normal((x.shape[0], W.shape[1])).astype(np.float32)
+        * 0.01)
+    z_single = sparse_encode(x, W, 0.2, algorithm="ista", z0=z0,
+                             maxiter=500, tol=1e-8)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, z0=z0,
+                                   algorithm="ista", maxiter=500, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)

@@ -124,3 +124,11 @@ def test_chunked_encode_matches_direct(rng):
     z_chunked = chunked_encode(x, W, alpha=0.2, chunk_size=16,
                                algorithm="ista", maxiter=300, tol=0.0)
     np.testing.assert_allclose(z_chunked, z_direct, atol=1e-5)
+
+
+def test_chunked_encode_empty_batch(rng):
+    from lasso_tpu.utils import chunked_encode
+    W = rng.standard_normal((8, 12)).astype(np.float32)
+    x = np.zeros((0, 8), np.float32)
+    z = chunked_encode(x, W, alpha=0.2)
+    assert z.shape == (0, 12)
