@@ -95,9 +95,9 @@ def _make_kernel(D):
 
 def supports_lanes_cholesky(b, A):
     """Size gate: D small enough for a [D, D, 128]-lane-tile to sit in
-    VMEM, batch divisible into lane tiles, f32."""
+    VMEM, f32. Any batch size works (padded to a lane multiple)."""
     B, D = b.shape
-    return (A.dtype == jnp.float32 and D <= 256 and B % 8 == 0
+    return (A.dtype == jnp.float32 and D <= 256 and B >= 1
             and D * D * 128 * 4 * 2 <= 96 * 1024 * 1024)
 
 
@@ -107,10 +107,20 @@ def batch_cholesky_solve_lanes(b, A, interpret=False):
 
     b: [B, D], A: [B, D, D] -> x: [B, D]. NaNs out on non-PD input.
     """
-    B, D = b.shape
+    B_in, D = b.shape
+    # Mosaic requires the lane (last) block dim to be a multiple of 128 or
+    # equal to the full array dim: batches over 128 get padded with
+    # identity systems to the next multiple, smaller ones run whole.
+    if B_in > 128 and B_in % 128 != 0:
+        B = (B_in + 127) // 128 * 128
+        pad = B - B_in
+        A = jnp.concatenate(
+            [A, jnp.broadcast_to(jnp.eye(D, dtype=A.dtype),
+                                 (pad, D, D))], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, D), b.dtype)], axis=0)
+    else:
+        B = B_in
     bl = min(128, B)
-    while B % bl != 0:
-        bl //= 2
     grid = (B // bl,)
 
     At = jnp.transpose(A, (1, 2, 0))      # [D, D, B]
@@ -138,4 +148,4 @@ def batch_cholesky_solve_lanes(b, A, interpret=False):
         interpret=interpret,
     )(At, bt)
 
-    return x_t.T
+    return x_t.T[:B_in]

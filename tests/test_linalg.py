@@ -179,3 +179,18 @@ def test_batch_cholesky_solve_pallas_route(rng):
                                use_pallas=True)
     x_ref = np.stack([np.linalg.solve(A_bad[i], b[i]) for i in range(B)])
     np.testing.assert_allclose(np.asarray(x_p), x_ref, atol=1e-4)
+
+
+def test_lanes_cholesky_odd_batch_sizes(rng):
+    """Batches that don't divide into 128-lane tiles are padded with
+    identity systems (regression: Mosaic rejects lane blocks < 128 unless
+    they equal the full dim)."""
+    from lasso_tpu.linalg.basic import batch_cholesky_solve
+    for B, D in ((9, 8), (130, 16)):
+        A = rng.standard_normal((B, D, D)).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1) + 2 * np.eye(D, dtype=np.float32)
+        b = rng.standard_normal((B, D)).astype(np.float32)
+        x = batch_cholesky_solve(jnp.asarray(b), jnp.asarray(A),
+                                 use_pallas=True)
+        x_ref = np.stack([np.linalg.solve(A[i], b[i]) for i in range(B)])
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-4)
