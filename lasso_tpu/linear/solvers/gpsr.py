@@ -191,12 +191,21 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
                maxiter=1000, miniter=5, init=0, continuation=False,
                debias=False, cont_steps=5, first_tau_factor=None,
                mu=0.1, lambda_backtrack=0.5, tol_debias=1e-4,
-               maxiter_debias=500, miniter_debias=0, key=None, **kwargs):
+               maxiter_debias=500, miniter_debias=0, key=None,
+               per_sample=False, **kwargs):
     """GPSR-Basic front-end (reference gpsr.py:209-365).
 
     ``A``/``AT`` are matvec closures over the flattened batch (built by
     ``sparse_encode`` for the dense-dictionary case), or ``A`` may be a
     dense matrix for 1-D problems.
+
+    ``per_sample=True`` (batched ``y`` only) upgrades the reference's
+    whole-batch coupling — global dot products, one shared Armijo step,
+    one shared stopping test (gpsr.py:257) — to fully independent
+    per-sample solves (vmapped core: per-sample step sizes, line
+    searches, continuation ladders, and stopping; converged samples
+    freeze). The debias phase, when enabled, remains batch-global.
+    Default False for reference parity.
     """
     if stop_criterion not in (0, 1, 2, 3, 4):
         raise ValueError("Unknown stopping criterion")
@@ -224,9 +233,14 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
     else:
         raise ValueError("Unknown initialization option")
 
+    per_sample = per_sample and y.ndim == 2
+
     # trivial-solution check (gpsr.py:276-279): data-dependent -> resolve
     # with a final select instead of an early return
-    max_tau = jnp.max(jnp.abs(Ay))
+    if per_sample:
+        max_tau = jnp.max(jnp.abs(Ay), axis=1)      # [N]
+    else:
+        max_tau = jnp.max(jnp.abs(Ay))
     trivial = tau >= max_tau
 
     # continuation ladder (gpsr.py:282-295)
@@ -253,13 +267,24 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
         is_last = i + 1 == n_steps
         tol_i = tol if is_last else 1e-3
         crit_i = stop_criterion if is_last else 3
-        x, u, v, n_it = _gpsr_core(
-            x, u, v, y, tau_i, A, AT, Ay, mu, lambda_backtrack,
-            maxiter, miniter, tol_i, crit_i)
+        if per_sample:
+            core = jax.vmap(
+                lambda x_, u_, v_, y_, Ay_, t_, _tol=tol_i, _crit=crit_i:
+                _gpsr_core(x_, u_, v_, y_, t_, A, AT, Ay_, mu,
+                           lambda_backtrack, maxiter, miniter, _tol, _crit))
+            tau_vec = jnp.broadcast_to(jnp.asarray(tau_i, Ay.dtype),
+                                       (y.shape[0],))
+            x, u, v, n_it = core(x, u, v, y, Ay, tau_vec)
+        else:
+            x, u, v, n_it = _gpsr_core(
+                x, u, v, y, tau_i, A, AT, Ay, mu, lambda_backtrack,
+                maxiter, miniter, tol_i, crit_i)
         n_iter_total = n_iter_total + n_it
 
     if debias:
         x = _debias(x, y, tau, A, AT, tol=tol_debias,
                     miniter=miniter_debias, maxiter=maxiter_debias)
 
+    if per_sample:
+        return jnp.where(trivial[:, None], jnp.zeros_like(x), x)
     return jnp.where(trivial, jnp.zeros_like(x), x)

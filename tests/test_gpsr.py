@@ -64,3 +64,49 @@ def test_gpsr_golden_parity(rng):
     f_ref = lasso_objective(x_np, W_np, z_ref.numpy(), alpha)
     f_tpu = lasso_objective(x_np, W_np, z_tpu, alpha)
     assert abs(f_tpu - f_ref) <= 1e-3 * max(1.0, abs(f_ref))
+
+
+def test_gpsr_per_sample_matches_independent_solves(rng):
+    """per_sample=True must equal solving each sample alone (SURVEY §4
+    item 6: the reference couples the batch through global dots/steps)."""
+    from lasso_tpu.linear import sparse_encode
+    n, d, k = 6, 10, 24
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    # wildly different scales per sample to make batch coupling visible
+    scales = jnp.asarray([0.1, 1.0, 10.0, 0.5, 5.0, 2.0])[:, None]
+    x = x * scales
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+
+    def per_sample_obj(x_s, z_s):
+        r = z_s @ np.asarray(W).T - x_s
+        return 0.5 * np.sum(r ** 2, axis=1) + 0.2 * np.sum(np.abs(z_s),
+                                                           axis=1)
+
+    z_batch = sparse_encode(x, W, 0.2, algorithm="gpsr", per_sample=True,
+                            maxiter=500, tol=1e-6)
+    f_batch = per_sample_obj(np.asarray(x), np.asarray(z_batch))
+    for i in range(n):
+        z_i = sparse_encode(x[i:i + 1], W, 0.2, algorithm="gpsr",
+                            per_sample=True, maxiter=500, tol=1e-6)
+        f_i = per_sample_obj(np.asarray(x[i:i + 1]), np.asarray(z_i))[0]
+        # batch-of-6 vs batch-of-1 matmuls tile (round) differently, which
+        # shifts GPSR's discrete stopping point: compare objectives
+        np.testing.assert_allclose(f_batch[i], f_i, rtol=1e-4)
+
+
+def test_gpsr_per_sample_objective_not_worse(rng):
+    from lasso_tpu.linear import sparse_encode, lasso_loss
+    n, d, k = 8, 12, 32
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    z_ps = sparse_encode(x, W, 0.2, algorithm="gpsr", per_sample=True,
+                         maxiter=500, tol=1e-6)
+    z_gl = sparse_encode(x, W, 0.2, algorithm="gpsr",
+                         maxiter=500, tol=1e-6)
+    f_ps = float(lasso_loss(x, z_ps, W, 0.2))
+    f_gl = float(lasso_loss(x, z_gl, W, 0.2))
+    assert f_ps <= f_gl * 1.001, (f_ps, f_gl)
