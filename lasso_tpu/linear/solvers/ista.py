@@ -75,7 +75,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=100,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", axis_name=None,
-         verbose=False, return_iters=False):
+         per_sample_tol=False, verbose=False, return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -97,6 +97,14 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     iterations past the reference's stopping point; it never stops
     earlier). A remainder loop runs any leftover ``maxiter % fuse_steps``
     iterations one step at a time.
+
+    ``per_sample_tol``: the reference stops the WHOLE batch on the global
+    sum ``sum|dz| <= numel * tol`` (ista.py:93), so one slow sample keeps
+    every converged sample iterating. True switches to per-sample
+    stopping: a row freezes permanently once its own ``sum|dz_i| <= K *
+    tol``. Forces the plain XLA step (the fused kernel reduces a global
+    statistic). Default False for reference parity (SURVEY.md §7
+    design principle 2).
 
     ``axis_name``: when the solver runs inside ``jax.shard_map`` with the
     batch sharded over a mesh axis, pass that axis name so the global
@@ -125,7 +133,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     from lasso_tpu.ops.common import resolve_pallas
     fused, interpret = resolve_pallas(
-        use_pallas, not backtrack and supports_fused_step(x, z0, weight))
+        use_pallas, not backtrack and not per_sample_tol
+        and supports_fused_step(x, z0, weight))
+    tol_row = weight.shape[1] * tol  # per-sample numel * tol
 
     def rss_grad(z_k):
         resid = jnp.matmul(z_k, weight.T, precision=prec) - x
@@ -141,6 +151,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     def cond(state):
         _, _, _, _, k, done = state
+        if per_sample_tol:
+            return jnp.logical_and(jnp.logical_not(jnp.all(done)),
+                                   k < maxiter)
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
     def body(state):
@@ -148,7 +161,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         # t, and mom — the momentum coefficient for THIS step's y, which
         # lags the t-update by one iteration:
         #   y_k = z_k + ((t_{k-1} - 1) / t_k)(z_k - z_{k-1})
-        z, z_prev, t, mom, k, _ = state
+        z, z_prev, t, mom, k, done_prev = state
         if verbose:
             # per-iteration loss print (reference ista.py:80-81), via
             # debug callback so it works inside the compiled loop
@@ -163,10 +176,22 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         else:
             y = z + mom * (z - z_prev)
             z_next = step(y)
-            delta = jnp.sum(jnp.abs(z - z_next))
-        if axis_name is not None:
-            delta = lax.psum(delta, axis_name)
-        done = delta <= tol_total
+            if per_sample_tol:
+                delta_row = jnp.sum(jnp.abs(z - z_next), axis=1)    # [N]
+            else:
+                delta = jnp.sum(jnp.abs(z - z_next))
+        if per_sample_tol:
+            # permanent per-row freeze; no cross-shard reduction needed
+            # (rows are whole within a shard), so shards may exit the
+            # loop independently under shard_map
+            done = jnp.logical_or(done_prev, delta_row <= tol_row)
+            keep = done_prev[:, None]
+            z_next = jnp.where(keep, z, z_next)
+            z = jnp.where(keep, z_prev, z)
+        else:
+            if axis_name is not None:
+                delta = lax.psum(delta, axis_name)
+            done = delta <= tol_total
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             mom_next = (t - 1) / t_next
@@ -196,7 +221,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     t0 = jnp.asarray(1.0, x.dtype)
     mom0 = jnp.asarray(0.0, x.dtype)
-    init = (z0, z0, t0, mom0, jnp.asarray(0), jnp.asarray(False))
+    done0 = (jnp.zeros((x.shape[0],), bool) if per_sample_tol
+             else jnp.asarray(False))
+    init = (z0, z0, t0, mom0, jnp.asarray(0), done0)
 
     if S > 1:
         def cond_multi(state):

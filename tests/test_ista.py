@@ -94,3 +94,47 @@ def test_golden_parity_vs_reference_quickstart(rng):
     f_tpu = lasso_objective(x_np, W_np, z_tpu, alpha)
     # solutions are non-unique for overcomplete W; compare objectives
     assert abs(f_tpu - f_ref) <= 1e-4 * max(1.0, abs(f_ref))
+
+
+def test_per_sample_tol_matches_independent_solves(rng):
+    """A row's solution under per-sample stopping must equal solving that
+    row alone (SURVEY §7 design principle 2: global stop is parity-only)."""
+    n, d, k = 6, 10, 24
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    x = x * jnp.asarray([0.1, 1.0, 10.0, 0.5, 5.0, 2.0])[:, None]
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    z0 = jnp.zeros((n, k), jnp.float32)
+
+    def per_sample_obj(x_s, z_s):
+        r = np.asarray(z_s) @ np.asarray(W).T - np.asarray(x_s)
+        return 0.5 * np.sum(r ** 2, axis=1) \
+            + 0.2 * np.sum(np.abs(np.asarray(z_s)), axis=1)
+
+    z_batch = ista(x, z0, W, 0.2, lr=0.1, maxiter=2000, tol=1e-7,
+                   per_sample_tol=True)
+    f_batch = per_sample_obj(x, z_batch)
+    for i in range(n):
+        z_i = ista(x[i:i + 1], z0[i:i + 1], W, 0.2, lr=0.1, maxiter=2000,
+                   tol=1e-7, per_sample_tol=True)
+        # batch-of-6 vs batch-of-1 matmuls round differently and the
+        # divergence compounds over 2000 momentum steps: objectives are
+        # the stable invariant
+        np.testing.assert_allclose(f_batch[i], per_sample_obj(
+            x[i:i + 1], z_i)[0], rtol=1e-5)
+
+
+def test_per_sample_tol_frozen_rows_stable(rng):
+    """Once frozen, a row must not change even while others iterate."""
+    n, d, k = 4, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    # row 0 trivially converged (zero data -> zero codes instantly)
+    x = x.at[0].set(0.0)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    z0 = jnp.zeros((n, k), jnp.float32)
+    z = ista(x, z0, W, 0.3, lr=0.1, maxiter=500, tol=1e-6,
+             per_sample_tol=True)
+    np.testing.assert_array_equal(np.asarray(z[0]), np.zeros(k, np.float32))
