@@ -126,13 +126,40 @@ def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
     _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
 
 
+# in/out tile budget; the split-float temporaries (y/resid hi+lo parts)
+# add ~40% scratch on top, so this is deliberately well under the 96 MiB
+# vmem_limit handed to the compiler (126 MB observed at a modeled 88 MB)
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _tile_bytes(bn, D, K):
+    """Double-buffered per-tile VMEM: one [bn,D] x tile + four [bn,K]
+    z-class tiles (z, z_prev, z_out, zp_out), f32."""
+    return 2 * (bn * D * 4 + 4 * bn * K * 4)
+
+
+def _pick_block_n(N, D, K, w_bytes, requested):
+    """Largest batch tile that divides N and fits the VMEM budget next to
+    the resident dictionary."""
+    bn = min(requested, N)
+    while N % bn != 0:
+        bn //= 2
+    while bn > 8 and w_bytes + _tile_bytes(bn, D, K) > _VMEM_BUDGET:
+        bn //= 2
+    return bn
+
+
 def supports_fused_step(x, z0, weight):
-    """Alignment check for the fast path: lane dims multiples of 128,
-    sublane (batch tile) divisibility handled by padding the grid."""
+    """Alignment + VMEM-envelope check for the fast path: lane dims
+    multiples of 128, batch divisible into sublane tiles, and the
+    resident dictionary (two bf16 split parts in f32 mode) plus
+    double-buffered minimum tiles within the kernel's VMEM budget."""
     N, D = x.shape
     K = weight.shape[1]
+    w_bytes = 4 * D * K  # worst case: f32 split mode, two bf16 operands
     return (D % 128 == 0 and K % 128 == 0 and N % 8 == 0
-            and x.dtype == jnp.float32)
+            and x.dtype == jnp.float32
+            and w_bytes + _tile_bytes(8, D, K) <= _VMEM_BUDGET)
 
 
 @functools.partial(jax.jit,
@@ -153,9 +180,8 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     """
     N, D = x.shape
     K = weight.shape[1]
-    block_n = min(block_n, N)
-    while N % block_n != 0:
-        block_n //= 2
+    w_bytes = (4 if kernel_precision == "f32" else 2) * D * K
+    block_n = _pick_block_n(N, D, K, w_bytes, block_n)
     grid = (N // block_n,)
 
     scal = jnp.stack([
@@ -286,9 +312,8 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
     """
     N, D = x.shape
     K = weight.shape[1]
-    block_n = min(block_n, N)
-    while N % block_n != 0:
-        block_n //= 2
+    w_bytes = (4 if kernel_precision == "f32" else 2) * D * K
+    block_n = _pick_block_n(N, D, K, w_bytes, block_n)
     grid = (N // block_n,)
 
     scal = jnp.stack([
