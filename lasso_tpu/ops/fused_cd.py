@@ -80,12 +80,14 @@ def _make_cd_kernel(steps, split_float, K):
 
 
 def supports_fused_cd(b, weight):
-    """Alignment + VMEM-residency check for the fused greedy-CD path."""
+    """Alignment + VMEM-residency check for the fused greedy-CD path:
+    resident S (two bf16 split parts in f32 mode, 4K^2 bytes) plus the
+    double-buffered minimum b/z tiles must fit the budget."""
     K = weight.shape[1]
     N = b.shape[0]
-    # S (or its two bf16 split parts) must fit in VMEM alongside the tiles
+    min_tiles = 2 * (4 * 8 * K * 4)  # b, z in + b, z out at bn=8, x2 buf
     return (K % 128 == 0 and N % 8 == 0 and b.dtype == jnp.float32
-            and K * K * 4 <= 64 * 1024 * 1024)
+            and K * K * 4 + min_tiles <= 64 * 1024 * 1024)
 
 
 @functools.partial(jax.jit,
@@ -102,6 +104,10 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
     N, K = b.shape
     block_n = min(block_n, N)
     while N % block_n != 0:
+        block_n //= 2
+    s_bytes = (4 if kernel_precision == "f32" else 2) * K * K
+    while block_n > 8 and s_bytes + 2 * (4 * block_n * K * 4) \
+            > 64 * 1024 * 1024:
         block_n //= 2
     grid = (N // block_n,)
 
