@@ -113,13 +113,22 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
 
 
 def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
-                      precision=None):
+                      precision=None, use_pallas="auto"):
     """Cyclic CD with duality-gap convergence (reference cd.py:57-138).
 
     Returns ``(z, gap)`` with ``gap`` the per-sample duality gap at the last
     convergence check. Slower but certifiably accurate — its gap oracle is
     also reused by the test suite as a solver-independent certificate.
+
+    On TPU the K-component cyclic sweep runs as one Pallas kernel per
+    sweep (residual and transposed codes resident in VMEM, atoms fetched
+    by dynamic sublane loads — :func:`lasso_tpu.ops.fused_cd.
+    fused_cd_mod_sweep`); the duality-gap check between sweeps stays in
+    XLA. Identical arithmetic to the unfused sweep.
     """
+    from lasso_tpu.ops.common import resolve_pallas
+    from lasso_tpu.ops.fused_cd import (fused_cd_mod_sweep,
+                                        supports_fused_cd_mod)
     prec = get_precision(precision)
     n_features, n_components = W.shape
     n_samples = x.shape[0]
@@ -181,13 +190,21 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
         return jnp.logical_and(jnp.logical_not(jnp.all(converged)),
                                n_iter < max_iter)
 
+    fused_sweep, interpret = resolve_pallas(
+        use_pallas, supports_fused_cd_mod(z0, W))
+
     def body(state):
         z, R, gap, converged, n_iter = state
-        z_max0 = jnp.zeros((n_samples,), x.dtype)
-        d_z_max0 = jnp.zeros((n_samples,), x.dtype)
-        z, R, z_max, d_z_max, _ = lax.fori_loop(
-            0, n_components, sweep_component,
-            (z, R, z_max0, d_z_max0, converged))
+        if fused_sweep:
+            z, R, z_max, d_z_max = fused_cd_mod_sweep(
+                z, R, converged, W, norm_cols_X, alpha,
+                interpret=interpret)
+        else:
+            z_max0 = jnp.zeros((n_samples,), x.dtype)
+            d_z_max0 = jnp.zeros((n_samples,), x.dtype)
+            z, R, z_max, d_z_max, _ = lax.fori_loop(
+                0, n_components, sweep_component,
+                (z, R, z_max0, d_z_max0, converged))
 
         # reference cd.py:132-137: gap check only for samples whose sweep
         # stalled (or on the final iteration)

@@ -177,3 +177,132 @@ def cd_steps_reference(b, z, active, S, alpha, tol_k, steps=1):
         z = z + upd * jax.nn.one_hot(k, K, dtype=z.dtype)
         active = active * (jnp.abs(dz) > tol_k).astype(jnp.float32)
     return b, z, active
+
+
+def _make_cd_mod_kernel(K, D):
+    """One full cyclic-CD sweep per invocation (reference cd.py:104-131).
+
+    Layouts chosen so every per-component access is a dynamic SUBLANE
+    load/store (Mosaic supports those; dynamic lane indexing it does
+    not): atoms as rows of Wt [K, D], codes transposed zT [K, bn], the
+    residual R [bn, D] carried as a value. The only per-step relayout is
+    one [1, bn] <-> [bn, 1] vector transpose.
+    """
+    def kernel(scal_ref, nrm_ref, wt_ref, r_ref, conv_ref,
+               zT_in_ref, zT_ref, r_out_ref, zmax_ref, dzmax_ref):
+        # zT_ref is the output aliased onto zT_in_ref's buffer: reads see
+        # the input codes until the row is overwritten (in cyclic order),
+        # which is exactly the in-place sweep semantics
+        del zT_in_ref
+        alpha = scal_ref[0, 0]
+        R = r_ref[:]                                   # [bn, D]
+        active_s = conv_ref[:]                         # [bn, 1] 1=active
+        bn = R.shape[0]
+        zmax = jnp.zeros((bn, 1), jnp.float32)
+        dzmax = jnp.zeros((bn, 1), jnp.float32)
+
+        def comp(j, carry):
+            R, zmax, dzmax = carry
+            wj = wt_ref[pl.ds(j, 1), :]                # [1, D]
+            nj = nrm_ref[pl.ds(j, 1), :]               # [1, 1]
+            col_ok = (nj[0, 0] != 0).astype(jnp.float32)
+            act = active_s * col_ok                    # [bn, 1]
+            zj = jnp.swapaxes(zT_ref[pl.ds(j, 1), :], 0, 1)  # [bn, 1]
+
+            add = act * jnp.where(zj != 0, zj, 0.0)
+            # rho = sum((R + add*wj) * wj) = sum(R*wj) + add*||wj||^2 —
+            # avoids materializing the add-back residual R1
+            rho = (jnp.sum(R * wj, axis=1, keepdims=True)
+                   + add * nj[0, 0])                         # [bn, 1]
+            z_new = (jnp.sign(rho)
+                     * jnp.maximum(jnp.abs(rho) - alpha, 0.0)
+                     / jnp.where(nj[0, 0] != 0, nj[0, 0], 1.0))
+            z_new = jnp.where(act > 0, z_new, zj)
+            sub = act * jnp.where(z_new != 0, z_new, 0.0)
+            # single fused rank-1 correction (add-back minus re-subtract)
+            R = R + (add - sub) * wj
+            zT_ref[pl.ds(j, 1), :] = jnp.swapaxes(z_new, 0, 1)
+            dzmax = jnp.maximum(dzmax,
+                                jnp.abs(z_new - zj) * act)
+            zmax = jnp.maximum(zmax, jnp.abs(z_new) * act)
+            return (R, zmax, dzmax)
+
+        R, zmax, dzmax = lax.fori_loop(0, K, comp, (R, zmax, dzmax))
+        r_out_ref[:] = R
+        zmax_ref[:] = zmax
+        dzmax_ref[:] = dzmax
+
+    return kernel
+
+
+def supports_fused_cd_mod(z, weight):
+    N, K = z.shape
+    D = weight.shape[0]
+    return (z.dtype == jnp.float32 and (N % 128 == 0 or N <= 128)
+            and K * D * 4 + 2 * 128 * (K + D) * 4 <= 48 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_cd_mod_sweep(z, R, converged, weight, norm_cols, alpha,
+                       interpret=False):
+    """One cyclic coordinate-descent sweep over all K components.
+
+    z, R: [N, K] / [N, D]; converged: [N] bool (frozen samples);
+    weight: [D, K]; norm_cols: [K] column squared norms.
+    Returns ``(z, R, z_max, d_z_max)`` with the same meanings as the
+    reference's inner loop state (cd.py:104-131).
+    """
+    N, K = z.shape
+    D = weight.shape[0]
+    # wide lane tiles: the per-component fori overhead is paid per grid
+    # step, so make batch tiles as wide as VMEM allows (zT + R + outputs
+    # + Wt within budget), in multiples of 128 lanes
+    budget = 48 * 1024 * 1024 - K * D * 4
+    bl = min(N, 4096)
+    while N % bl != 0:
+        bl //= 2
+    while bl > 128 and 2 * (bl * K * 4 + bl * D * 4) > budget:
+        bl //= 2
+    grid = (N // bl,)
+
+    scal = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    Wt = weight.T                                   # [K, D]
+    nrm = jnp.asarray(norm_cols, jnp.float32).reshape(K, 1)
+    zT = z.T                                        # [K, N]
+    act = (~converged).astype(jnp.float32)[:, None]  # [N, 1]
+
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    full_nrm = pl.BlockSpec((K, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    full_wt = pl.BlockSpec((K, D), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    tile_r = pl.BlockSpec((bl, D), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    tile_c = pl.BlockSpec((bl, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    tile_zT = pl.BlockSpec((K, bl), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    zT_out, R_out, zmax, dzmax = pl.pallas_call(
+        _make_cd_mod_kernel(K, D),
+        grid=grid,
+        in_specs=[smem, full_nrm, full_wt, tile_r, tile_c, tile_zT],
+        out_specs=[tile_zT, tile_r, tile_c, tile_c],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, N), jnp.float32),
+            jax.ShapeDtypeStruct((N, D), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ],
+        input_output_aliases={5: 0},   # zT is updated in place
+        cost_estimate=pl.CostEstimate(
+            flops=K * 6 * N * D,
+            bytes_accessed=(2 * N * D + 2 * N * K + K * D) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, nrm, Wt, R, act, zT)
+
+    return zT_out.T, R_out, zmax[:, 0], dzmax[:, 0]

@@ -140,3 +140,20 @@ def test_greedy_cd_fused_path_matches_objective(rng):
     f_fused = lasso_objective(x, W, z_fused, alpha)
     f_plain = lasso_objective(x, W, z_plain, alpha)
     np.testing.assert_allclose(f_fused, f_plain, rtol=1e-4)
+
+
+def test_cd_mod_fused_sweep_matches_xla(rng):
+    """The Pallas cyclic sweep (interpret mode) must reproduce the XLA
+    sweep exactly — same arithmetic, same cyclic order."""
+    n, d, k = 16, 12, 20
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    z_f, gap_f = coord_descent_mod(x, W, alpha=0.3, max_iter=30, tol=1e-8,
+                                   use_pallas=True)
+    z_p, gap_p = coord_descent_mod(x, W, alpha=0.3, max_iter=30, tol=1e-8,
+                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gap_f), np.asarray(gap_p),
+                               atol=1e-4)
