@@ -20,6 +20,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "patch_ops.cpp")
+_SRC2 = os.path.join(_HERE, "sparse_pack.cpp")
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_ERROR = None
@@ -32,13 +33,16 @@ def _build_lib():
         os.path.join(tempfile.gettempdir(), "lasso_tpu_native"))
     os.makedirs(cache_dir, exist_ok=True)
     import hashlib
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(cache_dir, f"patch_ops_{tag}.so")
+    h = hashlib.sha256()
+    for src in (_SRC, _SRC2):
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
+    so_path = os.path.join(cache_dir, f"lasso_native_{tag}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", "-pthread", _SRC, "-o", tmp]
+               "-std=c++17", "-pthread", _SRC, _SRC2, "-o", tmp]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
@@ -53,6 +57,15 @@ def _build_lib():
                                            u64, f32p, i32]
     lib.center_patches.restype = None
     lib.center_patches.argtypes = [f32p, i64, i64, i32, i32]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.csr_count_nnz.restype = i64
+    lib.csr_count_nnz.argtypes = [f32p, i64, i64, ctypes.c_float, i64p, i32]
+    lib.csr_pack.restype = None
+    lib.csr_pack.argtypes = [f32p, i64, i64, ctypes.c_float, i64p, f32p,
+                             i32p, i32]
+    lib.csr_unpack.restype = None
+    lib.csr_unpack.argtypes = [f32p, i32p, i64p, i64, i64, f32p, i32]
     return lib
 
 
@@ -145,3 +158,62 @@ def center_patches(patches, normalize=False, threads=None):
         nrm = np.linalg.norm(patches, axis=1, keepdims=True)
         patches *= np.where(nrm > 1e-6, 1.0 / np.maximum(nrm, 1e-30), 0.0)
     return patches
+
+
+def _i64ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pack_codes_csr(z, eps=0.0, threads=None):
+    """Pack a dense code matrix z [N, K] into CSR (values, cols, row_ptr).
+
+    Sparse lasso codes are 80-96% zeros at typical alpha; CSR cuts
+    storage/transfer in serving pipelines (the reference has no output
+    layer at all). Multithreaded C++ two-pass packer with a numpy
+    fallback. ``eps``: magnitude threshold counted as zero.
+    """
+    z = np.ascontiguousarray(np.asarray(z), dtype=np.float32)
+    N, K = z.shape
+    lib = get_lib()
+    if lib is None:
+        mask = np.abs(z) > eps
+        row_nnz = mask.sum(axis=1).astype(np.int64)
+        row_ptr = np.zeros(N + 1, np.int64)
+        np.cumsum(row_nnz, out=row_ptr[1:])
+        cols = np.nonzero(mask)[1].astype(np.int32)
+        values = z[mask]
+        return values, cols, row_ptr
+
+    row_nnz = np.empty(N, np.int64)
+    total = lib.csr_count_nnz(_fptr(z), N, K, np.float32(eps),
+                              _i64ptr(row_nnz), _threads(threads))
+    row_ptr = np.zeros(N + 1, np.int64)
+    np.cumsum(row_nnz, out=row_ptr[1:])
+    values = np.empty(total, np.float32)
+    cols = np.empty(total, np.int32)
+    lib.csr_pack(_fptr(z), N, K, np.float32(eps), _i64ptr(row_ptr),
+                 _fptr(values), _i32ptr(cols), _threads(threads))
+    return values, cols, row_ptr
+
+
+def unpack_codes_csr(values, cols, row_ptr, n_components, threads=None):
+    """CSR -> dense [N, n_components] (decode side of pack_codes_csr)."""
+    values = np.ascontiguousarray(values, np.float32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    N = row_ptr.shape[0] - 1
+    out = np.empty((N, n_components), np.float32)
+    lib = get_lib()
+    if lib is None:
+        out[:] = 0.0
+        for r in range(N):
+            sl = slice(row_ptr[r], row_ptr[r + 1])
+            out[r, cols[sl]] = values[sl]
+        return out
+    lib.csr_unpack(_fptr(values), _i32ptr(cols), _i64ptr(row_ptr),
+                   N, n_components, _fptr(out), _threads(threads))
+    return out

@@ -61,3 +61,26 @@ def test_threading_matches_single_thread(imgs):
     b = native.extract_patches_random(imgs, patch=5, per_image=9, seed=7,
                                       threads=4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_csr_pack_roundtrip(rng):
+    from lasso_tpu.native import pack_codes_csr, unpack_codes_csr
+    z = rng.standard_normal((37, 53)).astype(np.float32)
+    z[np.abs(z) < 1.0] = 0.0  # ~68% sparse
+    values, cols, row_ptr = pack_codes_csr(z)
+    assert values.shape == cols.shape
+    assert row_ptr[-1] == (z != 0).sum()
+    z_back = unpack_codes_csr(values, cols, row_ptr, z.shape[1])
+    np.testing.assert_array_equal(z_back, z)
+
+
+def test_csr_pack_matches_numpy_fallback(rng, monkeypatch):
+    import lasso_tpu.native as nat
+    z = rng.standard_normal((16, 24)).astype(np.float32)
+    z[np.abs(z) < 0.8] = 0.0
+    v1, c1, r1 = nat.pack_codes_csr(z)
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    v2, c2, r2 = nat.pack_codes_csr(z)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(r1, r2)
