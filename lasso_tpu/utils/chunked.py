@@ -29,12 +29,17 @@ import jax.numpy as jnp
 
 
 def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
-                   out=None, **kwargs):
+                   out=None, output="dense", csr_eps=0.0, **kwargs):
     """Encode an arbitrarily large batch in fixed-size chunks.
 
     x: [N, D] (numpy or jax array, host-resident is fine),
     weight: [D, K]. Returns a host numpy array [N, K] (or fills ``out``,
     which may be any preallocated array-like, e.g. a np.memmap).
+
+    ``output='csr'`` instead returns ``(values, cols, row_ptr)`` packed
+    per chunk by the native CSR packer (codes are 80-96% zeros at
+    typical alpha — the packed form is what serving pipelines want, and
+    the dense [N, K] matrix never materializes on the host).
 
     The final partial chunk is zero-padded to ``chunk_size`` so every
     chunk reuses the same compiled executable (padding rows solve a
@@ -42,15 +47,23 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     """
     from lasso_tpu.linear.sparse_encode import sparse_encode
 
+    if output not in ("dense", "csr"):
+        raise ValueError(f"output must be 'dense' or 'csr', got {output!r}")
     N = x.shape[0]
     K = weight.shape[1]
     weight = jnp.asarray(weight)
     # codes follow x's dtype (sparse_encode initializes z0 as x.dtype)
     out_dtype = np.asarray(x[:0]).dtype
 
-    if out is None:
+    csr = output == "csr"
+    if csr:
+        vals_parts, cols_parts, nnz_rows = [], [], []
+    elif out is None:
         out = np.empty((N, K), dtype=out_dtype)
     if N == 0:
+        if csr:
+            return (np.empty(0, np.float32), np.empty(0, np.int32),
+                    np.zeros(1, np.int64))
         return out
     chunk_size = min(chunk_size, N)
 
@@ -67,5 +80,19 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
         zb = run(jnp.asarray(xb), weight)
         if isinstance(zb, tuple):
             zb = zb[0]
-        out[start:stop] = np.asarray(zb)[: stop - start]
+        zb = np.asarray(zb)[: stop - start]
+        if csr:
+            from lasso_tpu.native import pack_codes_csr
+            v, c, rp = pack_codes_csr(zb, eps=csr_eps)
+            vals_parts.append(v)
+            cols_parts.append(c)
+            nnz_rows.append(np.diff(rp))
+        else:
+            out[start:stop] = zb
+
+    if csr:
+        row_ptr = np.zeros(N + 1, np.int64)
+        np.cumsum(np.concatenate(nnz_rows), out=row_ptr[1:])
+        return (np.concatenate(vals_parts), np.concatenate(cols_parts),
+                row_ptr)
     return out

@@ -132,3 +132,22 @@ def test_chunked_encode_empty_batch(rng):
     x = np.zeros((0, 8), np.float32)
     z = chunked_encode(x, W, alpha=0.2)
     assert z.shape == (0, 12)
+
+
+def test_chunked_encode_csr_output(rng):
+    from lasso_tpu.linear import sparse_encode
+    from lasso_tpu.native import unpack_codes_csr
+    from lasso_tpu.utils import chunked_encode
+    n, d, k = 50, 12, 20
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    z_dense = np.asarray(sparse_encode(
+        jnp.asarray(x), jnp.asarray(W), 0.3, algorithm="ista",
+        maxiter=300, tol=0.0))
+    v, c, rp = chunked_encode(x, W, alpha=0.3, chunk_size=16,
+                              algorithm="ista", maxiter=300, tol=0.0,
+                              output="csr")
+    z_back = unpack_codes_csr(v, c, rp, k)
+    np.testing.assert_allclose(z_back, z_dense, atol=1e-5)
+    assert rp[-1] == (np.abs(z_dense) > 0).sum()
