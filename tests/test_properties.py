@@ -126,3 +126,18 @@ def test_per_sample_line_search_iter_ridge(rng):
     f_shared = lasso_objective(x, W, z_shared, alpha)
     f_ps = lasso_objective(x, W, z_ps, alpha)
     assert f_ps <= f_shared * (1 + 1e-3)
+
+
+def test_large_alpha_gives_zero_codes(rng):
+    """For alpha >= ||W^T x||_inf the lasso solution is exactly z = 0;
+    every dispatched solver must find it."""
+    n, d, k = 12, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    alpha = float(jnp.max(jnp.abs(jnp.matmul(x, W)))) * 1.01
+    for algo in ("ista", "cd", "gpsr", "split-bregman", "own"):
+        out = sparse_encode(x, W, alpha, algorithm=algo, maxiter=200)
+        z = out[0] if isinstance(out, tuple) else out
+        assert float(jnp.max(jnp.abs(z))) < 1e-4, algo
