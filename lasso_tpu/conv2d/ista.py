@@ -25,10 +25,15 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     if isinstance(lr, str):
         if lr != "auto":
             raise ValueError(f"invalid lr {lr!r}")
-        if stride != 1:
-            raise NotImplementedError(
-                "auto lr is only implemented for stride == 1.")
-        L = lip_bound_conv2d(weight, padding)
+        if stride == 1:
+            L = lip_bound_conv2d(weight, padding)
+        else:
+            # the Araujo bound needs stride 1 (the reference raises here,
+            # conv2d/ista.py:12-15); fall back to the exact on-device
+            # power iteration of the conv normal operator instead
+            from lasso_tpu.conv2d.lip_const import lip_constant
+            L = lip_constant(weight, imsize=z0.shape[-2:], stride=stride,
+                             padding=padding)
         lr = 1.0 / L
     lr = jnp.asarray(lr, x.dtype)
     tol_total = z0.size * tol

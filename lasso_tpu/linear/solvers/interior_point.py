@@ -53,10 +53,18 @@ def _initialize_params(z0, weight, alpha, prec):
 
 def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                    barrier_init=0.1, tol=1e-2, eps=1e-5, precision=None,
-                   verbose=False, return_iters=False):
+                   per_sample=False, verbose=False, return_iters=False):
     """Interior-point lasso solver (reference ip.py:93-224).
 
     x: [B, D], weight: [D, K] -> (z: [B, K], success: bool scalar).
+
+    ``per_sample=True`` upgrades the reference's mean-over-batch stopping
+    test (ip.py:210-219) to independent per-sample feasibility/gap tests:
+    a sample's primal-dual state freezes permanently once its own
+    criteria pass, so one ill-conditioned sample cannot drive the whole
+    batch's barrier schedule past everyone else's convergence point.
+    ``success`` is then a per-sample bool vector [B]. Default False for
+    reference parity.
     """
     prec = get_precision(precision)
     batch_size, input_size = x.shape
@@ -99,13 +107,30 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         s_new = jnp.maximum(s + 0.99 * beta_sl * d_s, 0.0)
         mu_new = mu * (1 - jnp.clip(jnp.minimum(beta_z, beta_sl), None, 0.99))
 
-        # mean-over-batch stopping criteria (ip.py:210-219)
+        # stopping criteria (ip.py:210-219): batch-mean by default,
+        # per-sample when requested
         z_norm = jnp.linalg.norm(z_new, axis=1)
         l_norm = jnp.linalg.norm(lmbda_new, axis=1)
-        prim_feas = jnp.mean(jnp.linalg.norm(rb, axis=1) / (1 + z_norm))
-        dual_feas = jnp.mean(jnp.linalg.norm(ra, axis=1) / (1 + l_norm))
-        gap = jnp.mean(jnp.sum(z_new * s_new, axis=1) / (1 + z_norm * l_norm))
-        success = (prim_feas < tol) & (dual_feas < tol) & (gap < tol)
+        prim_i = jnp.linalg.norm(rb, axis=1) / (1 + z_norm)
+        dual_i = jnp.linalg.norm(ra, axis=1) / (1 + l_norm)
+        gap_i = jnp.sum(z_new * s_new, axis=1) / (1 + z_norm * l_norm)
+        if per_sample:
+            done_prev = state[5]
+            done_i = done_prev | ((prim_i < tol) & (dual_i < tol)
+                                  & (gap_i < tol))               # [B]
+            keep = done_prev[:, None]
+            z_new = jnp.where(keep, z, z_new)
+            lmbda_new = jnp.where(keep, lmbda, lmbda_new)
+            s_new = jnp.where(keep, s, s_new)
+            mu_new = jnp.where(keep, mu, mu_new)
+            success = done_i
+            all_done = jnp.all(done_i)
+        else:
+            prim_feas = jnp.mean(prim_i)
+            dual_feas = jnp.mean(dual_i)
+            gap = jnp.mean(gap_i)
+            success = (prim_feas < tol) & (dual_feas < tol) & (gap < tol)
+            all_done = success
 
         if verbose:
             # iteration report columns matching the reference's BasicReport
@@ -114,16 +139,19 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
             objf = alpha * jnp.sum(z_new) + 0.5 * jnp.sum(jnp.square(lmbda_new))
             jax.debug.print(
                 "niter {k}  obj {o:.4e}  prim {p:.2e}  dual {d:.2e}  gap {g:.2e}",
-                k=k + 1, o=objf, p=prim_feas, d=dual_feas, g=gap)
+                k=k + 1, o=objf, p=jnp.mean(prim_i), d=jnp.mean(dual_i),
+                g=jnp.mean(gap_i))
 
-        return (z_new, lmbda_new, s_new, mu_new, k + 1, success, success)
+        return (z_new, lmbda_new, s_new, mu_new, k + 1, success, all_done)
 
     def cond(state):
         _, _, _, _, k, _, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
+    success0 = (jnp.zeros((batch_size,), bool) if per_sample
+                else jnp.asarray(False))
     init = (z_init, lmbda_init, s_init, mu0, jnp.asarray(0),
-            jnp.asarray(False), jnp.asarray(False))
+            success0, jnp.asarray(False))
     z, _, _, _, k, success, _ = lax.while_loop(cond, body, init)
 
     z_pos, z_neg = jnp.split(z, 2, axis=1)

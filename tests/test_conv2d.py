@@ -106,3 +106,23 @@ def test_batch_cg_conv2d_solves_normal_equations(rng):
     # verify A v ~ b with A = conv2d(conv_transpose2d(. , k), k) + tik I
     Av = conv2d(conv_transpose2d(v, k), k) + tik * v
     np.testing.assert_allclose(np.asarray(Av), np.asarray(b), atol=1e-3)
+
+
+def test_conv_ista_auto_lr_stride2(rng):
+    """stride > 1 auto-lr: the reference raises NotImplementedError; we
+    fall back to the exact power-iteration Lipschitz constant."""
+    from lasso_tpu.conv2d import ista_conv2d, conv_transpose2d
+    N, Cz, Hz = 4, 6, 8
+    ks, stride = 4, 2
+    Wk = jnp.asarray(rng.standard_normal((Cz, 1, ks, ks)).astype(np.float32)
+                     * 0.2)
+    z_true = jnp.asarray(
+        (rng.standard_normal((N, Cz, Hz, Hz)) *
+         (rng.uniform(size=(N, Cz, Hz, Hz)) > 0.9)).astype(np.float32))
+    x = conv_transpose2d(z_true, Wk, stride=stride)
+    z0 = jnp.zeros_like(z_true)
+    z = ista_conv2d(x, z0, Wk, alpha=0.01, stride=stride, maxiter=300,
+                    tol=1e-8, lr="auto")
+    x_hat = conv_transpose2d(z, Wk, stride=stride)
+    rel = float(jnp.linalg.norm(x_hat - x) / jnp.linalg.norm(x))
+    assert rel < 0.2, rel

@@ -147,3 +147,29 @@ def test_constrained_inference_single_sample(rng):
     x, W, _ = make_problem(rng, n=4)
     z1 = constrained_inference(x[0], W, rss_lim=0.5)
     assert z1.shape == (W.shape[1],)
+
+
+def test_interior_point_per_sample_stopping(rng):
+    """Per-sample mode: each sample's success flag reflects its own
+    feasibility/gap; solutions match independent single-sample solves
+    at the objective level."""
+    from lasso_tpu.linear.solvers import interior_point
+    from _oracles import lasso_objective
+    n, d, k = 6, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    x = x * jnp.asarray([0.2, 1.0, 5.0, 0.5, 2.0, 1.5])[:, None]
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+
+    z_b, ok_b = interior_point(x, W, alpha=0.3, maxiter=40, tol=1e-4,
+                               per_sample=True)
+    assert ok_b.shape == (n,)
+    for i in range(n):
+        z_i, ok_i = interior_point(x[i:i + 1], W, alpha=0.3, maxiter=40,
+                                   tol=1e-4, per_sample=True)
+        f_b = lasso_objective(np.asarray(x[i:i + 1]), np.asarray(W),
+                              np.asarray(z_b[i:i + 1]), 0.3)
+        f_i = lasso_objective(np.asarray(x[i:i + 1]), np.asarray(W),
+                              np.asarray(z_i), 0.3)
+        np.testing.assert_allclose(f_b, f_i, rtol=1e-3)
