@@ -18,8 +18,6 @@ Structural changes vs the reference (math preserved):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -130,17 +128,25 @@ def update_dict_block(dictionary, X, Z, key=None, positive=False, eps=1e-10,
     return W, Z
 
 
-def update_dict_ridge(x, z, lambd=1e-4, precision=None):
+def update_dict_ridge(x, z, lambd=1e-4, axis_name=None, precision=None):
     """Unconstrained ridge dictionary update (reference dl.py:106-123).
 
     Newton step of ``f(V) = 1/(2N) ||z V^T - x||^2 + (lambd/2)||V||^2``:
-    solve ``(Z^T Z + lambd N I) V^T = Z^T X``. The two Gram products are the
-    psum-reduction points under a data-sharded mesh.
+    solve ``(Z^T Z + lambd N I) V^T = Z^T X``. The two Gram products are
+    the psum-reduction points under a data-sharded mesh: pass
+    ``axis_name`` when running inside ``jax.shard_map`` with the sample
+    axis sharded, and the partial Z^T X / Z^T Z (and the sample count in
+    the regularizer) psum to their global values.
     """
     prec = get_precision(precision)
     rhs = jnp.matmul(z.T, x, precision=prec)          # [K, D]
     M = jnp.matmul(z.T, z, precision=prec)            # [K, K]
-    M = M + (lambd * x.shape[0]) * jnp.eye(M.shape[0], dtype=M.dtype)
+    n = jnp.asarray(x.shape[0], x.dtype)
+    if axis_name is not None:
+        rhs = lax.psum(rhs, axis_name)
+        M = lax.psum(M, axis_name)
+        n = lax.psum(n, axis_name)
+    M = M + (lambd * n) * jnp.eye(M.shape[0], dtype=M.dtype)
     L = jnp.linalg.cholesky(M)
     V = cholesky_solve(rhs, L).T                      # [D, K]
     return V

@@ -77,7 +77,7 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
     eye = jnp.eye(input_size, dtype=x.dtype)
 
     def body(state):
-        z, lmbda, s, mu, k, _, _ = state
+        z, lmbda, s, mu, k, done_prev, _ = state
 
         # KKT residuals (ip.py:157-159)
         ra = -jnp.matmul(lmbda, W, precision=prec) - s + alpha   # [B, 2K]
@@ -115,7 +115,6 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         dual_i = jnp.linalg.norm(ra, axis=1) / (1 + l_norm)
         gap_i = jnp.sum(z_new * s_new, axis=1) / (1 + z_norm * l_norm)
         if per_sample:
-            done_prev = state[5]
             done_i = done_prev | ((prim_i < tol) & (dual_i < tol)
                                   & (gap_i < tol))               # [B]
             keep = done_prev[:, None]

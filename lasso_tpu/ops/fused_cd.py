@@ -29,13 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.fused_ista import _split_bf16_xla
-
-
-def _dot_nn(a, b):
-    return lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+from lasso_tpu.ops.fused_ista import _dot_nn, _split_bf16_xla
+from lasso_tpu.ops.shrink import soft_threshold
 
 
 def _make_cd_kernel(steps, split_float, K):
@@ -54,7 +49,7 @@ def _make_cd_kernel(steps, split_float, K):
         bn = b.shape[0]
         iota = lax.broadcasted_iota(jnp.int32, (bn, K), 1)
         for _ in range(steps):
-            z_cand = jnp.sign(b) * jnp.maximum(jnp.abs(b) - alpha, 0.0)
+            z_cand = soft_threshold(b, alpha)
             diff = z_cand - z
             absdiff = jnp.abs(diff)
             m = jnp.max(absdiff, axis=1, keepdims=True)        # [bn, 1]
@@ -168,7 +163,7 @@ def cd_steps_reference(b, z, active, S, alpha, tol_k, steps=1):
     N, K = b.shape
     rows_i = jnp.arange(N)
     for _ in range(steps):
-        z_cand = jnp.sign(b) * jnp.maximum(jnp.abs(b) - alpha, 0.0)
+        z_cand = soft_threshold(b, alpha)
         diff = z_cand - z
         k = jnp.argmax(jnp.abs(diff), axis=1)                  # [N]
         dz = jnp.take_along_axis(diff, k[:, None], axis=1)     # [N, 1]
@@ -214,8 +209,7 @@ def _make_cd_mod_kernel(K, D):
             # avoids materializing the add-back residual R1
             rho = (jnp.sum(R * wj, axis=1, keepdims=True)
                    + add * nj[0, 0])                         # [bn, 1]
-            z_new = (jnp.sign(rho)
-                     * jnp.maximum(jnp.abs(rho) - alpha, 0.0)
+            z_new = (soft_threshold(rho, alpha)
                      / jnp.where(nj[0, 0] != 0, nj[0, 0], 1.0))
             z_new = jnp.where(act > 0, z_new, zj)
             sub = act * jnp.where(z_new != 0, z_new, 0.0)

@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lasso_tpu.ops.shrink import soft_threshold
+
 
 def _split_bf16(a):
     """Split f32 into bf16 high + bf16 residual parts (Mosaic/in-kernel).
@@ -86,8 +88,7 @@ def _dot_nn(a, b):
 def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
     lr = scal_ref[0, 0]
     thresh = scal_ref[0, 1]   # alpha * lr
-    u = y - lr * grad
-    z_next = jnp.sign(u) * jnp.maximum(jnp.abs(u) - thresh, 0.0)
+    z_next = soft_threshold(y - lr * grad, thresh)
     z_out_ref[:] = z_next
 
     # accumulate the convergence statistic across the (sequential) grid
@@ -272,9 +273,8 @@ def _make_multistep_kernel(steps, split_float):
             else:
                 resid = _dot_nt(y, w) - x
                 grad = _dot_nn(resid, w)
-            u = y - scal_ref[s, 0] * grad
-            z_new = jnp.sign(u) * jnp.maximum(jnp.abs(u) - scal_ref[s, 1],
-                                              0.0)
+            z_new = soft_threshold(y - scal_ref[s, 0] * grad,
+                                   scal_ref[s, 1])
             zp = z
             z = z_new
         z_out_ref[:] = z
@@ -380,6 +380,5 @@ def fista_step_reference(x, z, z_prev, weight, lr, alpha, mom,
     y = z + mom * (z - z_prev)
     resid = jnp.matmul(y, weight.T, precision=prec) - x
     grad = jnp.matmul(resid, weight, precision=prec)
-    u = y - lr * grad
-    z_next = jnp.sign(u) * jnp.maximum(jnp.abs(u) - alpha * lr, 0.0)
+    z_next = soft_threshold(y - lr * grad, alpha * lr)
     return z_next, jnp.sum(jnp.abs(z_next - z))

@@ -83,12 +83,8 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     w_sh = weight_sharding(mesh, shard_atoms)
 
     if algorithm == "ista" and not shard_atoms:
-        # shard_map route: explicit psum of the Gram statistics (the
-        # reference's update_dict_ridge math, dl.py:117-121, distributed by
-        # hand exactly as SURVEY.md §2.3 prescribes)
-        from lasso_tpu.config import get_precision
-        from lasso_tpu.linalg.basic import cholesky_solve
-        prec = get_precision()
+        # shard_map route: psum-reduced Gram statistics (SURVEY.md §2.3),
+        # via update_dict_ridge's own axis_name support
 
         def local_step(x, weight):
             Z = sparse_encode(x, weight, alpha, algorithm="ista",
@@ -98,10 +94,7 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
             loss = jax.lax.psum(
                 lasso_loss(x, Z, weight, alpha) * x.shape[0], "data"
             ) / n_global
-            rhs = jax.lax.psum(jnp.matmul(Z.T, x, precision=prec), "data")
-            M = jax.lax.psum(jnp.matmul(Z.T, Z, precision=prec), "data")
-            M = M + (lambd * n_global) * jnp.eye(M.shape[0], dtype=M.dtype)
-            W_new = cholesky_solve(rhs, jnp.linalg.cholesky(M)).T
+            W_new = update_dict_ridge(x, Z, lambd=lambd, axis_name="data")
             return W_new, loss
 
         jit_step = jax.jit(jax.shard_map(
