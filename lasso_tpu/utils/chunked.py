@@ -70,7 +70,7 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     run = jax.jit(partial(sparse_encode, alpha=alpha, algorithm=algorithm,
                           **kwargs))
 
-    for start in range(0, N, chunk_size):
+    def dispatch(start):
         stop = min(start + chunk_size, N)
         xb = np.asarray(x[start:stop])
         if stop - start < chunk_size:  # pad the tail chunk
@@ -78,9 +78,10 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
                            dtype=xb.dtype)
             xb = np.concatenate([xb, pad], axis=0)
         zb = run(jnp.asarray(xb), weight)
-        if isinstance(zb, tuple):
-            zb = zb[0]
-        zb = np.asarray(zb)[: stop - start]
+        return (zb[0] if isinstance(zb, tuple) else zb), start, stop
+
+    def land(zb, start, stop):
+        zb = np.asarray(zb)[: stop - start]   # blocks on this chunk only
         if csr:
             from lasso_tpu.native import pack_codes_csr
             v, c, rp = pack_codes_csr(zb, eps=csr_eps)
@@ -89,6 +90,16 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
             nnz_rows.append(np.diff(rp))
         else:
             out[start:stop] = zb
+
+    # one-deep pipeline: dispatch chunk i+1 (async under JAX) before
+    # materializing chunk i, so host packing/copies overlap device solves
+    pending = None
+    for start in range(0, N, chunk_size):
+        nxt = dispatch(start)
+        if pending is not None:
+            land(*pending)
+        pending = nxt
+    land(*pending)
 
     if csr:
         row_ptr = np.zeros(N + 1, np.int64)
