@@ -141,3 +141,31 @@ def test_large_alpha_gives_zero_codes(rng):
         out = sparse_encode(x, W, alpha, algorithm=algo, maxiter=200)
         z = out[0] if isinstance(out, tuple) else out
         assert float(jnp.max(jnp.abs(z))) < 1e-4, algo
+
+
+def test_zero_dictionary_column_is_safe(rng):
+    """A zero atom must not produce NaNs/Infs in any dispatched solver
+    (cd-mod guards norm_cols == 0 explicitly, reference cd.py:112)."""
+    n, d, k = 8, 6, 12
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = rng.standard_normal((d, k)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W[:, 3] = 0.0
+    W = jnp.asarray(W)
+    for algo in ("ista", "cd", "cd-mod", "gpsr", "split-bregman", "own"):
+        kw = {"max_iter": 100} if algo == "cd-mod" else {"maxiter": 100}
+        out = sparse_encode(x, W, 0.3, algorithm=algo, **kw)
+        z = out[0] if isinstance(out, tuple) else out
+        assert np.all(np.isfinite(np.asarray(z))), algo
+
+
+def test_alpha_zero_reduces_to_least_squares(rng):
+    """alpha = 0 turns FISTA into plain gradient descent on the RSS; the
+    result must match the least-squares solution on a well-posed (D > K)
+    problem."""
+    n, d, k = 8, 16, 8  # overdetermined: unique LS solution
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32))
+    z = sparse_encode(x, W, 0.0, algorithm="ista", maxiter=3000, tol=1e-10)
+    z_ls = np.linalg.lstsq(np.asarray(W), np.asarray(x).T, rcond=None)[0].T
+    np.testing.assert_allclose(np.asarray(z), z_ls, atol=1e-3)
