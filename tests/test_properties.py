@@ -169,3 +169,31 @@ def test_alpha_zero_reduces_to_least_squares(rng):
     z = sparse_encode(x, W, 0.0, algorithm="ista", maxiter=3000, tol=1e-10)
     z_ls = np.linalg.lstsq(np.asarray(W), np.asarray(x).T, rcond=None)[0].T
     np.testing.assert_allclose(np.asarray(z), z_ls, atol=1e-3)
+
+
+def test_golden_parity_x64_objective_gap_1e6(rng):
+    """BASELINE criterion: objective gap <= 1e-6 relative vs the reference
+    (SURVEY.md TL;DR). f32 rounding caps the f32 golden tests at ~1e-4;
+    under x64 both frameworks converge tightly enough to certify 1e-6."""
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import jax
+    import torch
+
+    x_np = rng.standard_normal((100, 10))
+    W_np = rng.standard_normal((10, 50))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+
+    z_ref = lasso_ref.linear.sparse_encode(
+        torch.from_numpy(x_np), torch.from_numpy(W_np), alpha=alpha,
+        algorithm="ista", maxiter=20000, tol=1e-12)
+    f_ref = lasso_objective(x_np, W_np, z_ref.numpy(), alpha)
+
+    with jax.enable_x64():
+        z = sparse_encode(jnp.asarray(x_np), jnp.asarray(W_np), alpha,
+                          algorithm="ista", maxiter=20000, tol=1e-12)
+        f_tpu = lasso_objective(x_np, W_np, np.asarray(z), alpha)
+
+    assert abs(f_tpu - f_ref) <= 1e-6 * abs(f_ref), (f_tpu, f_ref)
