@@ -151,3 +151,21 @@ def test_chunked_encode_csr_output(rng):
     z_back = unpack_codes_csr(v, c, rp, k)
     np.testing.assert_allclose(z_back, z_dense, atol=1e-5)
     assert rp[-1] == (np.abs(z_dense) > 0).sum()
+
+
+def test_cli_encode_and_train(tmp_path, rng):
+    """python -m lasso_tpu train/encode round-trip on .npy files."""
+    from lasso_tpu.__main__ import main as cli
+    x_path = str(tmp_path / "X.npy")
+    w_path = str(tmp_path / "W.npy")
+    z_path = str(tmp_path / "Z.npy")
+    np.save(x_path, rng.standard_normal((48, 12)).astype(np.float32))
+    cli(["train", x_path, "--atoms", "16", "--alpha", "0.2", "--steps", "3",
+         "--dict-update", "block", "-o", w_path,
+         "--solver-args", '{"maxiter": 50, "tol": 0.0, "lr": 0.1}'])
+    W = np.load(w_path)
+    assert W.shape == (12, 16)
+    cli(["encode", x_path, w_path, "--alpha", "0.2", "-o", z_path,
+         "--solver-args", '{"maxiter": 100, "tol": 0.0, "lr": 0.1}'])
+    Z = np.load(z_path)
+    assert Z.shape == (48, 16) and np.all(np.isfinite(Z))
