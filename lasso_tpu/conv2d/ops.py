@@ -29,10 +29,46 @@ def _pair(v):
     return (v, v)
 
 
-def conv2d(x, kernel, stride=1, padding=0, precision=None):
-    """torch.nn.functional.conv2d equivalent."""
+def _conv2d_gemm(x, kernel, ph, pw, precision):
+    """Stride-1 conv as static-shift im2col + one GEMM.
+
+    For small C_in the native lowering's GEMM has a tiny contraction and
+    poor MXU utilization; stacking the kernel taps into the contraction
+    (im2col via kh*kw static shifted slices) makes it
+    [N*Ho*Wo, C_in*kh*kw] x [C_in*kh*kw, C_out]. Same linear map.
+    """
+    N, Ci, H, W = x.shape
+    Co, kh, kw = kernel.shape[0], kernel.shape[2], kernel.shape[3]
+    prec = get_precision(precision)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    Ho, Wo = x.shape[2] - kh + 1, x.shape[3] - kw + 1
+    cols = jnp.stack(
+        [x[:, :, ki:ki + Ho, kj:kj + Wo]
+         for ki in range(kh) for kj in range(kw)], axis=-1)  # [N,Ci,Ho,Wo,kh*kw]
+    k_mat = kernel.transpose(1, 2, 3, 0).reshape(Ci * kh * kw, Co)
+    cols = cols.transpose(0, 2, 3, 1, 4).reshape(N, Ho, Wo, Ci * kh * kw)
+    y = jnp.matmul(cols, k_mat, precision=prec)              # [N,Ho,Wo,Co]
+    return y.transpose(0, 3, 1, 2)
+
+
+def conv2d(x, kernel, stride=1, padding=0, precision=None, method="auto"):
+    """torch.nn.functional.conv2d equivalent.
+
+    ``method``: 'gemm' forces static-shift im2col + GEMM (stride 1 only).
+    Not auto-selected: unlike the transpose direction (where C_out=1
+    collapses the GEMM to one column), the forward conv's small
+    contraction is handled well natively — measured neutral-to-slower
+    with the im2col materialization at C_in=1.
+    """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
+    kh, kw = kernel.shape[-2:]
+    use_gemm = method == "gemm"
+    if use_gemm:
+        if (sh, sw) != (1, 1):
+            raise ValueError("method='gemm' requires stride 1")
+        return _conv2d_gemm(x, kernel, ph, pw, precision)
     return lax.conv_general_dilated(
         x, kernel,
         window_strides=(sh, sw),
