@@ -138,31 +138,42 @@ def _make_kernel_blocked(D, p):
 
         lax.fori_loop(0, nb, block_body, 0)
 
-        # forward substitution L y = r, column-oriented
-        def fwd(j, carry):
+        # forward substitution L y = r: panels of p columns per loop
+        # step, the p column-substitutions unrolled (loop-step overhead
+        # dominates D sequential tiny-op iterations otherwise)
+        def fwd(ib, carry):
             r, y = carry
-            col = s_ref[pl.ds(j, 1), :, :][0]             # [D, bl]
-            sel = (rows2 == j).astype(jnp.float32)
-            diag = jnp.sum(col * sel, axis=0, keepdims=True)
-            yj = jnp.sum(r * sel, axis=0, keepdims=True) / diag
-            r = r - yj * jnp.where(rows2 > j, col, 0.0)
-            return (r, y + sel * yj)
+            jb = ib * p
+            panel = s_ref[pl.ds(jb, p), :, :]             # [p, D, bl]
+            for t in range(p):
+                j = jb + t
+                col = panel[t]
+                sel = (rows2 == j).astype(jnp.float32)
+                diag = jnp.sum(col * sel, axis=0, keepdims=True)
+                yj = jnp.sum(r * sel, axis=0, keepdims=True) / diag
+                r = r - yj * jnp.where(rows2 > j, col, 0.0)
+                y = y + sel * yj
+            return (r, y)
 
-        _, y = lax.fori_loop(0, D, fwd,
+        _, y = lax.fori_loop(0, nb, fwd,
                              (b_ref[:], jnp.zeros_like(b_ref[:])))
 
-        # back substitution L^T x = y, column access only
-        def bwd(i2, x):
-            i = D - 1 - i2
-            col = s_ref[pl.ds(i, 1), :, :][0]
-            sel = (rows2 == i).astype(jnp.float32)
-            diag = jnp.sum(col * sel, axis=0, keepdims=True)
-            acc = jnp.sum(col * x * (rows2 > i).astype(jnp.float32),
-                          axis=0, keepdims=True)
-            yi = jnp.sum(y * sel, axis=0, keepdims=True)
-            return x + sel * ((yi - acc) / diag)
+        # back substitution L^T x = y, reverse panels, column access only
+        def bwd(ib2, x):
+            jb = (nb - 1 - ib2) * p
+            panel = s_ref[pl.ds(jb, p), :, :]
+            for t in range(p - 1, -1, -1):
+                i = jb + t
+                col = panel[t]
+                sel = (rows2 == i).astype(jnp.float32)
+                diag = jnp.sum(col * sel, axis=0, keepdims=True)
+                acc = jnp.sum(col * x * (rows2 > i).astype(jnp.float32),
+                              axis=0, keepdims=True)
+                yi = jnp.sum(y * sel, axis=0, keepdims=True)
+                x = x + sel * ((yi - acc) / diag)
+            return x
 
-        x_ref[:] = lax.fori_loop(0, D, bwd, jnp.zeros_like(y))
+        x_ref[:] = lax.fori_loop(0, nb, bwd, jnp.zeros_like(y))
 
     return kernel
 
