@@ -72,16 +72,8 @@ def _cmd_train(args):
 
 
 def _cmd_bench(args):
-    import runpy
-    import os
-    sys.argv = ["bench.py"]
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench.py")
-    if os.path.exists(path):
-        runpy.run_path(path, run_name="__main__")
-    else:
-        print("bench.py not found next to the package", file=sys.stderr)
-        sys.exit(1)
+    from lasso_tpu.headline_bench import main as bench_main
+    bench_main()
 
 
 def main(argv=None):

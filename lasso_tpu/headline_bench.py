@@ -1,0 +1,83 @@
+"""Headline benchmark: batched FISTA iterations/s per chip.
+
+Lives inside the package so the installed ``lasso-tpu bench`` console
+entry works on pip-installed copies (the repo-root ``bench.py`` driver
+shim delegates here).
+
+Config (BASELINE.md #2 scale-class): N=16384 samples, D=512 features,
+K=2048 atoms, alpha=0.1, fp32-accurate matmuls. The solver runs a fixed
+200 iterations (tol=0 disables early exit) so the number measures
+steady-state solver throughput.
+
+Baseline: the reference (rfeinman/pytorch-lasso) ISTA measured on the
+dev container's CPU (torch 2.13, fp32, 1 core — no GPU there):
+0.82 it/s on the same problem (see BASELINE.md).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N, D, K = 16384, 512, 2048
+ALPHA = 0.1
+ITERS = 200
+REFERENCE_ITERS_PER_S = 0.82  # pytorch-lasso ISTA, torch-2.13 CPU (1 core)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lasso_tpu.linear.solvers import ista
+
+    rng = np.random.default_rng(0)
+    # distinct inputs per repeat: repeated identical executions can be
+    # served from an execution cache on some backends, inflating it/s
+    xs = [jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+          for _ in range(7)]
+    W = jnp.asarray(
+        (rng.standard_normal((D, K)) / np.sqrt(D)).astype(np.float32))
+    z0 = jnp.zeros((N, K), jnp.float32)
+
+    # precompute the Lipschitz step size outside the timed region (the
+    # reference also excludes its eigsh from the per-iteration cost)
+    from lasso_tpu.linalg import lipschitz_constant
+    L = lipschitz_constant(W)
+    lr = float(1.0 / L)
+
+    # the default path: Pallas-fused FISTA step (f32-grade split-float
+    # matmuls) on TPU, plain XLA elsewhere
+    run = jax.jit(lambda x, z0, W: ista(
+        x, z0, W, ALPHA, lr=lr, maxiter=ITERS, tol=0.0))
+
+    # warmup / compile
+    run(xs[0], z0, W).block_until_ready()
+
+    times = []
+    # min over 6 distinct-input repeats: the shared backend shows ~±15%
+    # run-to-run variance; min is the honest steady-state estimate
+    for i in range(1, 7):
+        t0 = time.perf_counter()
+        out = run(xs[i], z0, W)
+        out.block_until_ready()
+        float(out[0, 0])  # force a real device->host readback
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    iters_per_s = ITERS / dt
+
+    print(json.dumps({
+        "metric": "batched FISTA iterations/s per chip (N=16384, 512->2048, fp32)",
+        "value": round(iters_per_s, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,7 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
 
 
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
-         tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=100,
+         tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", axis_name=None,
          per_sample_tol=False, verbose=False, return_iters=False):

@@ -96,14 +96,15 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
     ``alpha`` (shrink threshold) and ``tol_k`` (per-sample deactivation
     threshold, tol * K) may be traced scalars.
     """
+    from lasso_tpu.ops.common import largest_aligned_divisor
+
     N, K = b.shape
-    block_n = min(block_n, N)
-    while N % block_n != 0:
-        block_n //= 2
+    block_n = largest_aligned_divisor(N, min(block_n, N))
     s_bytes = (4 if kernel_precision == "f32" else 2) * K * K
     while block_n > 8 and s_bytes + 2 * (4 * block_n * K * 4) \
             > 64 * 1024 * 1024:
-        block_n //= 2
+        block_n = largest_aligned_divisor(N, block_n // 2)
+    assert N % block_n == 0
     grid = (N // block_n,)
 
     scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
@@ -252,11 +253,16 @@ def fused_cd_mod_sweep(z, R, converged, weight, norm_cols, alpha,
     # step, so make batch tiles as wide as VMEM allows (zT + R + outputs
     # + Wt within budget), in multiples of 128 lanes
     budget = 48 * 1024 * 1024 - K * D * 4
-    bl = min(N, 4096)
-    while N % bl != 0:
-        bl //= 2
-    while bl > 128 and 2 * (bl * K * 4 + bl * D * 4) > budget:
-        bl //= 2
+    if N <= 128:
+        bl = N
+    else:
+        from lasso_tpu.ops.common import largest_aligned_divisor
+        # lane-axis tile: must be a multiple of 128 (supports_fused_cd_mod
+        # guarantees 128 | N here)
+        bl = largest_aligned_divisor(N, min(N, 4096), align=128)
+        while bl > 128 and 2 * (bl * K * 4 + bl * D * 4) > budget:
+            bl = largest_aligned_divisor(N, bl // 2, align=128)
+    assert N % bl == 0
     grid = (N // bl,)
 
     scal = jnp.asarray(alpha, jnp.float32).reshape(1, 1)

@@ -141,12 +141,13 @@ def _tile_bytes(bn, D, K):
 
 def _pick_block_n(N, D, K, w_bytes, requested):
     """Largest batch tile that divides N and fits the VMEM budget next to
-    the resident dictionary."""
-    bn = min(requested, N)
-    while N % bn != 0:
-        bn //= 2
+    the resident dictionary. Every candidate is re-derived as an exact
+    multiple-of-8 divisor of N, so the grid always covers the batch."""
+    from lasso_tpu.ops.common import largest_aligned_divisor
+    bn = largest_aligned_divisor(N, min(requested, N))
     while bn > 8 and w_bytes + _tile_bytes(bn, D, K) > _VMEM_BUDGET:
-        bn //= 2
+        bn = largest_aligned_divisor(N, bn // 2)
+    assert N % bn == 0
     return bn
 
 

@@ -49,6 +49,11 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
 
     if output not in ("dense", "csr"):
         raise ValueError(f"output must be 'dense' or 'csr', got {output!r}")
+    if out is not None and output == "csr":
+        raise ValueError(
+            "a preallocated `out` buffer applies only to output='dense'; "
+            "the CSR path returns freshly packed (values, cols, row_ptr) "
+            "arrays whose sizes are data-dependent")
     N = x.shape[0]
     K = weight.shape[1]
     weight = jnp.asarray(weight)

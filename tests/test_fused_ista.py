@@ -141,3 +141,28 @@ def test_momentum_restructure_matches_reference_trajectory(rng):
                     use_pallas=False)
     np.testing.assert_allclose(np.asarray(z_solver), np.asarray(z),
                                atol=2e-5)
+
+
+def test_pick_block_n_always_divides():
+    """VMEM-pressure halving must re-derive an exact divisor of N: an odd
+    divisor halved naively (120 -> 60 -> 30 -> 15 -> 7) would under-cover
+    the batch and leave tail rows unwritten (ADVICE r1)."""
+    from lasso_tpu.ops.fused_ista import _pick_block_n, _tile_bytes
+    for N in (120, 8 * 17, 8 * 15 * 7, 256, 8, 1048576):
+        for D, K in ((512, 2048), (128, 128), (4096, 8192)):
+            for req in (8, 120, 256, 512, 4096):
+                bn = _pick_block_n(N, D, K, 4 * D * K, req)
+                assert N % bn == 0, (N, D, K, req, bn)
+                assert bn % 8 == 0
+
+
+def test_largest_aligned_divisor():
+    from lasso_tpu.ops.common import largest_aligned_divisor
+    assert largest_aligned_divisor(120, 60) == 40
+    assert largest_aligned_divisor(120, 120) == 120
+    assert largest_aligned_divisor(136, 64) == 8
+    assert largest_aligned_divisor(256, 4096) == 256
+    assert largest_aligned_divisor(256, 100) == 64
+    assert largest_aligned_divisor(1024, 512, align=128) == 512
+    # limit below align still returns the minimum aligned divisor
+    assert largest_aligned_divisor(120, 4) == 8
