@@ -12,7 +12,10 @@ Structural changes vs the reference (math preserved):
   device;
 * the batched KKT matrix build ``M = W diag(d) W^T + I`` (ip.py:171-172)
   is a single einsum into ``[B, D, D]`` followed by the batched Cholesky
-  solve (LU fallback in-graph);
+  solve (LU fallback in-graph) — OR, for large problems, a matrix-free
+  warm-started batched CG on the same normal equations that never
+  materializes M (``kkt_solver='cg'``; the reference has no equivalent —
+  its [B, D, D] build is an OOM at the headline batch sizes);
 * the feasibility asserts of the initializer (ip.py:65-67) cannot raise
   inside jit; the initialization guarantees them mathematically for
   ``alpha > 0`` (s = alpha - lambda W_pn with |lambda W| < alpha by
@@ -36,6 +39,56 @@ def _general_inverse(x, eps=1e-5):
     return jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, x))
 
 
+def _normal_cg(W, d, b, x0, maxiter, rtol, prec):
+    """Matrix-free batched CG on ``(W diag(d_i) W^T + I) x_i = b_i``.
+
+    W: [D, 2K], d: [B, 2K], b/x0: [B, D]. The normal matrix is never
+    materialized — each CG iteration is two [B, D] x [D, 2K]-class
+    matmuls (``((v W) * d) W^T + v``), so memory stays O(B(D+K)) instead
+    of the Cholesky path's O(B D^2). The +I term bounds the spectrum
+    from below at 1, so the system is always PD; ``rtol`` is the global
+    relative-residual exit ``sum ||r_i||^2 <= rtol^2 * sum ||b_i||^2``.
+    Warm-started from the previous Newton step's solution (x0).
+
+    Deliberately unpreconditioned: as mu -> 0 the barrier weights d spike
+    on the (few) active coordinates, making M a low-rank perturbation of
+    I — Jacobi scaling mis-handles exactly that structure (measured WORSE
+    trajectories than plain CG at equal iteration budgets).
+    """
+    def Adot(v):
+        t = jnp.matmul(v, W, precision=prec) * d           # [B, 2K]
+        return jnp.matmul(t, W.T, precision=prec) + v      # [B, D]
+
+    def pdot(u, v):
+        return jnp.sum(u * v, axis=1, keepdims=True)       # [B, 1]
+
+    def safe_div(num, den):
+        ok = den != 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+    r0 = b - Adot(x0)
+    rs0 = pdot(r0, r0)
+    stop_at = rtol * rtol * jnp.sum(jnp.square(b))
+
+    def cond(state):
+        _, _, _, rs, k = state
+        return jnp.logical_and(jnp.sum(rs) > stop_at, k < maxiter)
+
+    def body(state):
+        x, r, p, rs, k = state
+        Ap = Adot(p)
+        a = safe_div(rs, pdot(p, Ap))
+        x = x + a * p
+        r = r - a * Ap
+        rs_new = pdot(r, r)
+        p = r + safe_div(rs_new, rs) * p
+        return (x, r, p, rs_new, k + 1)
+
+    x, _, _, _, _ = lax.while_loop(cond, body, (x0, r0, r0, rs0,
+                                                jnp.asarray(0)))
+    return x
+
+
 def _initialize_params(z0, weight, alpha, prec):
     """Sardy et al. (2000) §2.3 initialization (reference ip.py:38-69)."""
     z0_pn = jnp.concatenate([jnp.maximum(z0, 0.0), jnp.maximum(-z0, 0.0)], 1)
@@ -53,7 +106,9 @@ def _initialize_params(z0, weight, alpha, prec):
 
 def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                    barrier_init=0.1, tol=1e-2, eps=1e-5, precision=None,
-                   per_sample=False, verbose=False, return_iters=False):
+                   per_sample=False, kkt_solver="auto", cg_rtol=1e-6,
+                   cg_maxiter=None, axis_name=None, verbose=False,
+                   return_iters=False):
     """Interior-point lasso solver (reference ip.py:93-224).
 
     x: [B, D], weight: [D, K] -> (z: [B, K], success: bool scalar).
@@ -65,6 +120,30 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
     batch's barrier schedule past everyone else's convergence point.
     ``success`` is then a per-sample bool vector [B]. Default False for
     reference parity.
+
+    ``kkt_solver`` selects how each Newton step's normal equations
+    ``(W diag(d) W^T + I) d_lambda = rhs`` are solved:
+
+    * ``'cholesky'`` — materialize the per-sample ``[B, D, D]`` normal
+      matrix and batch-factorize (the reference's approach,
+      ip.py:171-173). Exact, but memory is O(B D^2): ~17 GB at the
+      headline 16384x(512->2048) config — an OOM on a 16 GB chip.
+    * ``'cg'`` — matrix-free batched conjugate gradient on the same
+      system (two [B,D]x[D,2K] matmuls per CG iteration, normal matrix
+      never built, memory O(B(D+K))), warm-started from the previous
+      Newton step's solution. The +I term keeps the system PD at every
+      barrier value. ``cg_rtol`` (relative-residual exit) and
+      ``cg_maxiter`` (default ``min(2 D, 512)``) control the inner
+      solve; at their defaults the two paths agree to ~1e-5 relative
+      objective (test_heavy_solvers.py pins it).
+    * ``'auto'`` — 'cholesky' while the [B, D, D] build stays under
+      1 GB, 'cg' beyond (the headline-scale default).
+
+    ``axis_name``: when the batch is sharded over a mesh axis inside
+    ``jax.shard_map``, pass the axis name so the default mean-over-batch
+    stopping test (and verbose report columns) psum-reduce to the global
+    batch mean, preserving the reference's whole-batch semantics.
+    ``per_sample=True`` needs no reduction (rows are whole in a shard).
     """
     prec = get_precision(precision)
     batch_size, input_size = x.shape
@@ -72,12 +151,30 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
     if z0 is None:
         z0 = ridge(x.T, weight, alpha=alpha).T
 
+    if kkt_solver == "auto":
+        kkt_solver = ("cholesky" if batch_size * input_size ** 2 * 4
+                      <= 2 ** 30 else "cg")
+    if kkt_solver not in ("cholesky", "cg"):
+        raise ValueError(f"kkt_solver must be 'auto', 'cholesky' or 'cg', "
+                         f"got {kkt_solver!r}")
+    if cg_maxiter is None:
+        cg_maxiter = min(2 * input_size, 512)
+
+    def batch_mean(v):
+        """Mean over the (possibly sharded) global batch."""
+        if axis_name is None:
+            return jnp.mean(v)
+        total = lax.psum(jnp.sum(v), axis_name)
+        count = lax.psum(jnp.asarray(v.shape[0], v.dtype), axis_name)
+        return total / count
+
     mu0 = barrier_init * jnp.ones((batch_size, 1), x.dtype)
     z_init, lmbda_init, s_init, W = _initialize_params(z0, weight, alpha, prec)
-    eye = jnp.eye(input_size, dtype=x.dtype)
+    eye = (jnp.eye(input_size, dtype=x.dtype) if kkt_solver == "cholesky"
+           else None)
 
     def body(state):
-        z, lmbda, s, mu, k, done_prev, _ = state
+        z, lmbda, s, mu, dl_prev, k, done_prev, _ = state
 
         # KKT residuals (ip.py:157-159)
         ra = -jnp.matmul(lmbda, W, precision=prec) - s + alpha   # [B, 2K]
@@ -89,10 +186,14 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         d = s_inv * z                                            # [B, 2K]
         rhs = s_inv * rc - d * ra
         rhs = rb - jnp.matmul(rhs, W.T, precision=prec)          # [B, D]
-        # M = W diag(d) W^T + I per sample: [B, D, D]
-        M = jnp.einsum("dk,bk,ek->bde", W, d, W,
-                       precision=prec, optimize=True) + eye
-        d_lmbda = batch_cholesky_solve(rhs, M)                   # [B, D]
+        if kkt_solver == "cholesky":
+            # M = W diag(d) W^T + I per sample: [B, D, D]
+            M = jnp.einsum("dk,bk,ek->bde", W, d, W,
+                           precision=prec, optimize=True) + eye
+            d_lmbda = batch_cholesky_solve(rhs, M)               # [B, D]
+        else:
+            d_lmbda = _normal_cg(W, d, rhs, dl_prev,
+                                 cg_maxiter, cg_rtol, prec)      # [B, D]
         d_s = ra - jnp.matmul(d_lmbda, W, precision=prec)
         d_z = s_inv * (rc - z * d_s)
 
@@ -125,9 +226,9 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
             success = done_i
             all_done = jnp.all(done_i)
         else:
-            prim_feas = jnp.mean(prim_i)
-            dual_feas = jnp.mean(dual_i)
-            gap = jnp.mean(gap_i)
+            prim_feas = batch_mean(prim_i)
+            dual_feas = batch_mean(dual_i)
+            gap = batch_mean(gap_i)
             success = (prim_feas < tol) & (dual_feas < tol) & (gap < tol)
             all_done = success
 
@@ -138,20 +239,21 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
             objf = alpha * jnp.sum(z_new) + 0.5 * jnp.sum(jnp.square(lmbda_new))
             jax.debug.print(
                 "niter {k}  obj {o:.4e}  prim {p:.2e}  dual {d:.2e}  gap {g:.2e}",
-                k=k + 1, o=objf, p=jnp.mean(prim_i), d=jnp.mean(dual_i),
-                g=jnp.mean(gap_i))
+                k=k + 1, o=objf, p=batch_mean(prim_i), d=batch_mean(dual_i),
+                g=batch_mean(gap_i))
 
-        return (z_new, lmbda_new, s_new, mu_new, k + 1, success, all_done)
+        return (z_new, lmbda_new, s_new, mu_new, d_lmbda, k + 1,
+                success, all_done)
 
     def cond(state):
-        _, _, _, _, k, _, done = state
+        _, _, _, _, _, k, _, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
     success0 = (jnp.zeros((batch_size,), bool) if per_sample
                 else jnp.asarray(False))
-    init = (z_init, lmbda_init, s_init, mu0, jnp.asarray(0),
-            success0, jnp.asarray(False))
-    z, _, _, _, k, success, _ = lax.while_loop(cond, body, init)
+    init = (z_init, lmbda_init, s_init, mu0, jnp.zeros_like(x),
+            jnp.asarray(0), success0, jnp.asarray(False))
+    z, _, _, _, _, k, success, _ = lax.while_loop(cond, body, init)
 
     z_pos, z_neg = jnp.split(z, 2, axis=1)
     zf = z_pos - z_neg

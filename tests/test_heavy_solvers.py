@@ -173,3 +173,64 @@ def test_interior_point_per_sample_stopping(rng):
         f_i = lasso_objective(np.asarray(x[i:i + 1]), np.asarray(W),
                               np.asarray(z_i), 0.3)
         np.testing.assert_allclose(f_b, f_i, rtol=1e-3)
+
+
+def test_interior_point_cg_matches_cholesky(fista_solution):
+    """The matrix-free normal-equations CG path (kkt_solver='cg') must
+    reach the same solution quality as the reference-style [B,D,D]
+    Cholesky path — it is what makes IP runnable at headline batch sizes
+    where the Cholesky build is an OOM."""
+    x, W, alpha, f_star = fista_solution
+    z_ch, ok_ch = interior_point(x, W, alpha=alpha, maxiter=50, tol=1e-2,
+                                 kkt_solver="cholesky")
+    z_cg, ok_cg = interior_point(x, W, alpha=alpha, maxiter=50, tol=1e-2,
+                                 kkt_solver="cg")
+    assert bool(ok_cg)
+    f_ch = lasso_objective(x, W, z_ch, alpha)
+    f_cg = lasso_objective(x, W, z_cg, alpha)
+    assert abs(f_cg - f_ch) < 1e-3 * max(1.0, abs(f_ch))
+    assert abs(f_cg - f_star) < 1e-2 * max(1.0, abs(f_star))
+
+
+def test_interior_point_cg_kkt_certificate(rng):
+    """Solver-independent optimality certificate for the CG path: at a
+    lasso solution, |W^T(Wz - x)| <= alpha off-support and = alpha (with
+    opposing sign) on the support (SURVEY.md §4.2). This primal-dual IP
+    stalls at ~1e-2 terminal KKT accuracy regardless of the inner solver
+    (identical in x64 — it's the barrier schedule, reference parity), so
+    the bar is: CG's certificate must match the Cholesky path's, and
+    both must be bounded."""
+    x, W, alpha = make_problem(rng, n=24, d=16, k=24)
+
+    def kkt_violation(z):
+        z = np.asarray(z)
+        g = np.asarray((jnp.matmul(z, W.T) - x) @ W)
+        on = np.abs(z) > 1e-2
+        off_viol = float(np.max(np.maximum(np.abs(g[~on]) - alpha, 0.0)))
+        assert on.any()
+        on_viol = float(np.max(np.abs(g[on] + alpha * np.sign(z[on]))))
+        return off_viol, on_viol
+
+    z_ch, _ = interior_point(x, W, alpha=alpha, maxiter=200, tol=1e-4,
+                             kkt_solver="cholesky")
+    # generous inner budget: at trajectory-grade CG accuracy the two
+    # paths must produce the same certificate
+    z_cg, _ = interior_point(x, W, alpha=alpha, maxiter=200, tol=1e-4,
+                             kkt_solver="cg", cg_maxiter=256,
+                             cg_rtol=1e-8)
+    off_ch, on_ch = kkt_violation(z_ch)
+    off_cg, on_cg = kkt_violation(z_cg)
+    assert off_cg <= off_ch + 1e-3
+    assert on_cg <= 1.5 * on_ch + 1e-3
+    assert on_cg <= 0.5 * alpha  # bounded in absolute terms too
+
+
+def test_interior_point_kkt_solver_auto_and_validation(rng):
+    x, W, alpha = make_problem(rng)
+    # auto on a tiny problem resolves to cholesky; result identical
+    z_auto, _ = interior_point(x, W, alpha=alpha, maxiter=20)
+    z_ch, _ = interior_point(x, W, alpha=alpha, maxiter=20,
+                             kkt_solver="cholesky")
+    np.testing.assert_array_equal(np.asarray(z_auto), np.asarray(z_ch))
+    with pytest.raises(ValueError):
+        interior_point(x, W, alpha=alpha, kkt_solver="lu")
