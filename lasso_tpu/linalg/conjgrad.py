@@ -36,13 +36,18 @@ _RUNNING = -1
 
 
 def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
-             return_status=False):
+             return_status=False, verbose=0):
     """Solve ``A x = b`` for a PSD operator ``A`` given as a matvec closure.
 
     ``dot(u, v)`` defines the (possibly per-sample, keepdim) inner product;
     global termination decisions sum it over the whole batch, matching the
     reference's batch-global semantics (conjgrad.py:37-45).
+
+    ``verbose`` mirrors the reference (conjgrad.py:30,54-55): >=1 prints
+    the terminal status message, >1 adds a per-iteration residual-norm
+    line.
     """
+    verbose = int(verbose)
     if maxiter is None:
         maxiter = 20 * (b.size if b.ndim == 1 else b[0].size)
 
@@ -105,6 +110,11 @@ def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
         def sel(new, old):
             return jnp.where(keep, new, old)
 
+        if verbose > 1:
+            # per-iteration residual norm (reference conjgrad.py:54-55)
+            jax.debug.print("iter: {i} - rs: {r:.4f}",
+                            i=k, r=jnp.sqrt(jnp.sum(rs_new)))
+
         x_out = sel(x_new, x_negcurv)
         r_out = sel(r_new, r)
         p_out = sel(p_new, p)
@@ -114,6 +124,11 @@ def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
     init = (x0, r0, p0, rs0, jnp.asarray(0), jnp.asarray(_RUNNING))
     x, _, _, _, _, status = lax.while_loop(cond_fn, body_fn, init)
     status = jnp.where(status == _RUNNING, 4, status)
+    if verbose:
+        # terminal status message (reference conjgrad.py:30); the host
+        # callback maps the device status code to the message table
+        jax.debug.callback(
+            lambda s: print("CG: " + STATUS_MESSAGES[int(s)]), status)
     if return_status:
         return x, status
     return x

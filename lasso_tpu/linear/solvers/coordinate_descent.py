@@ -27,10 +27,16 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
                   precision=None, use_pallas="auto", kernel_precision="f32",
-                  fuse_steps=8):
+                  fuse_steps=8, verbose=False, return_iters=False):
     """Greedy batched CD (reference cd.py:5-54).
 
     x: [N, D], W: [D, K] -> z: [N, K]
+
+    ``verbose`` prints the lasso objective of ``softshrink(b, alpha)``
+    per iteration (reference cd.py:49-50) and forces the unfused XLA
+    path (the fused kernel runs ``fuse_steps`` iterations per
+    invocation). ``return_iters`` also returns the executed iteration
+    count (device scalar).
 
     On TPU backends the hot loop runs as a fused Pallas kernel
     (:mod:`lasso_tpu.ops.fused_cd`): the data-dependent row gather
@@ -66,6 +72,12 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
     def body(state):
         z, b, active, it = state
         z_cand = soft_threshold(b, alpha)
+        if verbose:
+            # per-iteration loss of softshrink(b, alpha) (cd.py:49-50)
+            resid_v = jnp.matmul(z_cand, W.T, precision=prec) - x
+            loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
+                      + alpha * jnp.sum(jnp.abs(z_cand)))
+            jax.debug.print("iter {i} - loss: {l:.4f}", i=it, l=loss_v)
         diff = z_cand - z
         k = jnp.argmax(jnp.abs(diff), axis=1)                  # [N]
         dz = jnp.take_along_axis(diff, k[:, None], axis=1)     # [N, 1]
@@ -83,7 +95,8 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         return (z_out, b_out, active_new, it + 1)
 
     from lasso_tpu.ops.common import resolve_pallas
-    fused, interpret = resolve_pallas(use_pallas, supports_fused_cd(b0, W))
+    fused, interpret = resolve_pallas(
+        use_pallas, not verbose and supports_fused_cd(b0, W))
 
     T = max(1, int(fuse_steps)) if fused else 1
 
@@ -108,16 +121,21 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
              jnp.asarray(0)))
         state = (z_c, b_c, act_c[:, 0] > 0, it_c)
 
-    z, b, _, _ = lax.while_loop(cond, body, state)
-    return soft_threshold(b, alpha)
+    z, b, _, it = lax.while_loop(cond, body, state)
+    zf = soft_threshold(b, alpha)
+    if return_iters:
+        return zf, it
+    return zf
 
 
 def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
-                      precision=None, use_pallas="auto"):
+                      precision=None, use_pallas="auto",
+                      return_iters=False):
     """Cyclic CD with duality-gap convergence (reference cd.py:57-138).
 
     Returns ``(z, gap)`` with ``gap`` the per-sample duality gap at the last
-    convergence check. Slower but certifiably accurate — its gap oracle is
+    convergence check (plus the executed sweep count when
+    ``return_iters``). Slower but certifiably accurate — its gap oracle is
     also reused by the test suite as a solver-independent certificate.
 
     On TPU the K-component cyclic sweep runs as one Pallas kernel per
@@ -218,6 +236,8 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
 
     gap0 = jnp.full((n_samples,), tol + 1.0, x.dtype)
     converged0 = jnp.zeros((n_samples,), bool)
-    z, R, gap, converged, _ = lax.while_loop(
+    z, R, gap, converged, n_it = lax.while_loop(
         cond, body, (z0, R0, gap0, converged0, jnp.asarray(0)))
+    if return_iters:
+        return z, gap, n_it
     return z, gap

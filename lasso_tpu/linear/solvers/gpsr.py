@@ -36,7 +36,8 @@ def _dot(u, v):
 
 
 def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
-               maxiter, miniter, tol, stop_criterion, ls_maxiter=50):
+               maxiter, miniter, tol, stop_criterion, ls_maxiter=50,
+               verbose=False):
     """Inner GP loop (reference gpsr.py:9-129). Returns (x, u, v, n_iter)."""
     relu = lambda a: jnp.maximum(a, 0.0)
 
@@ -90,7 +91,7 @@ def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
 
         # cheap init carry (never used: the loop body always runs once)
         dummy = (u, v, x, resid_base, f, jnp.zeros_like(u), jnp.zeros_like(v))
-        _, (u_new, v_new, x_new, rb_new, f_new, du, dv), _, _ = \
+        lambd_acc, (u_new, v_new, x_new, rb_new, f_new, du, dv), _, _ = \
             lax.while_loop(ls_cond, ls_body,
                            (lambd0, dummy, jnp.asarray(False), 0))
 
@@ -106,6 +107,13 @@ def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
         num_nz = jnp.sum(nz_new)
 
         n_iter_new = n_iter + 1
+
+        if verbose:
+            # per-iteration report (reference gpsr.py:79-82): objective,
+            # accepted step size, support size
+            jax.debug.print(
+                "It = {i}, obj = {f:.5e}, lambda = {l:.2e}, nz = {n}",
+                i=n_iter_new, f=f_new, l=lambd_acc, n=num_nz)
 
         # stopping criterion (static selection; gpsr.py:85-117)
         if stop_criterion == 0:
@@ -192,7 +200,8 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
                debias=False, cont_steps=5, first_tau_factor=None,
                mu=0.1, lambda_backtrack=0.5, tol_debias=1e-4,
                maxiter_debias=500, miniter_debias=0, key=None,
-               per_sample=False, **kwargs):
+               per_sample=False, verbose=False, return_iters=False,
+               **kwargs):
     """GPSR-Basic front-end (reference gpsr.py:209-365).
 
     ``A``/``AT`` are matvec closures over the flattened batch (built by
@@ -206,6 +215,11 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
     searches, continuation ladders, and stopping; converged samples
     freeze). The debias phase, when enabled, remains batch-global.
     Default False for reference parity.
+
+    ``verbose`` prints the reference's per-iteration report line
+    (objective, accepted step, support size; gpsr.py:79-82) — batch
+    mode only. ``return_iters`` also returns the total GP iteration
+    count across the continuation ladder.
     """
     if stop_criterion not in (0, 1, 2, 3, 4):
         raise ValueError("Unknown stopping criterion")
@@ -268,6 +282,8 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
         tol_i = tol if is_last else 1e-3
         crit_i = stop_criterion if is_last else 3
         if per_sample:
+            # verbose is not supported inside the vmapped per-sample core
+            # (a debug.print per sample per iteration is unreadable)
             core = jax.vmap(
                 lambda x_, u_, v_, y_, Ay_, t_, _tol=tol_i, _crit=crit_i:
                 _gpsr_core(x_, u_, v_, y_, t_, A, AT, Ay_, mu,
@@ -278,7 +294,7 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
         else:
             x, u, v, n_it = _gpsr_core(
                 x, u, v, y, tau_i, A, AT, Ay, mu, lambda_backtrack,
-                maxiter, miniter, tol_i, crit_i)
+                maxiter, miniter, tol_i, crit_i, verbose=verbose)
         n_iter_total = n_iter_total + n_it
 
     if debias:
@@ -286,5 +302,9 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
                     miniter=miniter_debias, maxiter=maxiter_debias)
 
     if per_sample:
-        return jnp.where(trivial[:, None], jnp.zeros_like(x), x)
-    return jnp.where(trivial, jnp.zeros_like(x), x)
+        xf = jnp.where(trivial[:, None], jnp.zeros_like(x), x)
+    else:
+        xf = jnp.where(trivial, jnp.zeros_like(x), x)
+    if return_iters:
+        return xf, n_iter_total
+    return xf

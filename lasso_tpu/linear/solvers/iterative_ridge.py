@@ -34,7 +34,8 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
                     eps=None, maxiter=10, line_search=True, cg=False,
                     cg_options=None, ls_maxiter=30, per_sample_ls=False,
                     woodbury="auto", woodbury_solver="cg",
-                    woodbury_cg_iters=None, precision=None):
+                    woodbury_cg_iters=None, precision=None,
+                    verbose=False, return_iters=False):
     """Iterated ridge (reference iterative_ridge.py:11-141).
 
     z0: [B, K] (ridge init recommended), x: [B, D], weight: [D, K].
@@ -175,11 +176,17 @@ def iterative_ridge(z0, x, weight, alpha=1.0, tol=1e-5, tikhonov=1e-4,
             z_new = jnp.where(is_zero, z, z_sol)
             fval_new = f(z_new)
 
+        if verbose:
+            # per-iteration objective print (reference ir.py:120-121)
+            jax.debug.print("iter {k} - fval: {f:.4f}", k=k, f=fval_new)
+
         done = jnp.sum(jnp.abs(update)) <= tol_total
         nan_abort = jnp.logical_or(jnp.isnan(fval_new),
                                    jnp.any(jnp.isnan(update)))
         return (z_new, fval_new, k + 1, jnp.logical_or(done, nan_abort))
 
     init = (z0, f(z0), jnp.asarray(0), jnp.asarray(False))
-    z, _, _, _ = lax.while_loop(cond, body, init)
+    z, _, k, _ = lax.while_loop(cond, body, init)
+    if return_iters:
+        return z, k
     return z

@@ -42,14 +42,23 @@ def pseudo_grad(z, grad_f, alpha):
 
 def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
                         xtol=1e-5, line_search="brent", ls_options=None,
-                        ls_maxiter=30, per_sample_ls=False, precision=None):
+                        ls_maxiter=30, per_sample_ls=False, precision=None,
+                        verbose=0, return_iters=False):
     """Orthant-wise Newton (reference own.py:32-160).
 
     weight: [D, K], x: [B, D], z0: [B, K] -> z: [B, K]
 
     ``per_sample_ls=True`` gives each sample its own 'brent' step size
     (the reference shares one scalar across the batch).
+
+    ``verbose`` levels mirror the reference (own.py:92-93, 148-150,
+    156-158): >=1 prints the initial and final objective + iteration
+    count, >1 adds a per-iteration f / ||dz|| line. ``return_iters``
+    also returns the executed iteration count.
     """
+    import jax
+
+    verbose = int(verbose)
     prec = get_precision(precision)
     assert z0.ndim == 2
     if ls_options is None:
@@ -122,6 +131,11 @@ def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
         z_new = project(z + t * d, eta)
         delta = jnp.linalg.norm((z_new - z).ravel())
         f_new, g_new, gp_new = evaluate(z_new)
+        if verbose > 1:
+            # per-iteration line (own.py:148-150; ls_iters is a fixed
+            # golden-section count here, so it is omitted)
+            jax.debug.print("iter {k} - f: {f:.4f} - dz: {d:.3e}",
+                            k=k + 1, f=f_new, d=delta)
         done = delta <= xtol
         return (z_new, f_new, g_new, gp_new, k + 1, done)
 
@@ -129,6 +143,15 @@ def orthant_wise_newton(weight, x, z0, alpha=1.0, lr=1.0, maxiter=20,
         _, _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
+    if verbose:
+        jax.debug.print("initial f: {f:.4f}", f=f0)
     init = (z0, f0, g0, gp0, jnp.asarray(0), jnp.asarray(False))
-    z, _, _, _, _, _ = lax.while_loop(cond, body, init)
+    z, f_fin, _, _, k, _ = lax.while_loop(cond, body, init)
+    if verbose:
+        # final summary (own.py:156-158)
+        jax.debug.print(
+            "         Current function value: {f}\n"
+            "         Iterations: {k}", f=f_fin, k=k)
+    if return_iters:
+        return z, k
     return z

@@ -22,10 +22,14 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 
 def split_bregman(A, y, x0=None, alpha=1.0, lambd=1.0, maxiter=20,
-                  niter_inner=5, tol=1e-10, tau=1.0, precision=None):
+                  niter_inner=5, tol=1e-10, tau=1.0, precision=None,
+                  verbose=False):
     """Split-Bregman lasso (reference split_bregman.py:5-85).
 
     A: [D, K] dictionary, y: [N, D] targets -> (x: [N, K], itn: iterations).
+
+    ``verbose`` prints the per-outer-iteration cost
+    ``0.5||Ax - y||^2 + alpha||x||_1`` (reference split_bregman.py:80-82).
     """
     prec = get_precision(precision)
     assert y.ndim == 2 and A.ndim == 2
@@ -66,6 +70,12 @@ def split_bregman(A, y, x0=None, alpha=1.0, lambd=1.0, maxiter=20,
         x, b, d = lax.fori_loop(0, niter_inner, inner, (x, b, d))
         b = b + tau * (x - d)
         update = jnp.linalg.norm((x - x_old).ravel())
+        if verbose:
+            import jax
+            cost = (0.5 * jnp.sum(jnp.square(
+                jnp.matmul(A, x, precision=prec) - yT))
+                + alpha * jnp.sum(jnp.abs(x)))
+            jax.debug.print("iter {i} - cost: {c:.4f}", i=itn + 1, c=cost)
         return (x, b, d, update, itn + 1)
 
     init = (x, b0, d0, jnp.asarray(jnp.inf, y.dtype), jnp.asarray(0))

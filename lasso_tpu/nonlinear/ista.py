@@ -54,11 +54,16 @@ def hessian_2norm(fun, x, niter=10, key=None):
 
 
 def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
-            power_iters=10, tol=1e-5, key=None, return_iters=False):
+            power_iters=10, tol=1e-5, key=None, verbose=0,
+            return_iters=False):
     """Nonlinear (F)ISTA (reference nl/ista.py:55-128).
 
     decoder: traceable ``z -> x_hat`` with output shape matching ``x``.
+
+    ``verbose`` mirrors the reference (nl/ista.py:97-98, 109-110): >=1
+    prints the initial lasso loss, >1 adds a per-iteration loss line.
     """
+    verbose = int(verbose)
     if not (lr == "auto" or isinstance(lr, (int, float))):
         raise ValueError('expected `lr` to be either float or "auto".')
     tol_total = z0.size * tol
@@ -70,6 +75,9 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
         return 0.5 * jnp.sum(jnp.square(decoder(zk) - x))
 
     rss_grad = jax.grad(rss_loss)
+
+    def lasso_loss(zk):
+        return rss_loss(zk) + alpha * jnp.sum(jnp.abs(zk))
 
     def step(zk):
         g = rss_grad(zk)
@@ -94,11 +102,19 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
             y_next = z_next + ((t - 1) / t_next) * (z_next - z)
         else:
             t_next, y_next = t, z_next
+        if verbose > 1:
+            # per-iteration loss (reference nl/ista.py:117-118)
+            jax.debug.print("iter {k} - loss: {l:.4f}",
+                            k=k + 1, l=lasso_loss(z_next))
         return (z_next, y_next, t_next, k + 1, done)
 
+    if verbose:
+        jax.debug.print("initial loss: {l:.4f}", l=lasso_loss(z0))
     init = (z0, z0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
             jnp.asarray(False))
     z, _, _, k, _ = lax.while_loop(cond, body, init)
+    if verbose:
+        jax.debug.print("final loss: {l:.4f}", l=lasso_loss(z))
     if return_iters:
         return z, k
     return z

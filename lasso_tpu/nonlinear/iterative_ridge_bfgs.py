@@ -41,11 +41,16 @@ def _bfgs_update(B, x, g, x_prev, g_prev, first):
 
 def iterative_ridge_bfgs(f, x0, alpha=1.0, lr=1.0, xtol=1e-5, tikhonov=1e-4,
                          eps=None, line_search=True, maxiter=None,
-                         ls_maxiter=30, return_iters=False):
+                         ls_maxiter=30, verbose=0, return_iters=False):
     """Nonlinear iterative ridge with BFGS (reference irb.py:45-140).
 
     f: traceable ``x -> scalar`` smooth loss; x0: [B, K].
+
+    ``verbose`` mirrors the reference (irb.py:92-93, 125-126, 136-138):
+    >=1 prints initial/final loss and iterations, >1 adds a
+    per-iteration loss / ||dx|| line.
     """
+    verbose = int(verbose)
     assert x0.ndim == 2
     if maxiter is None:
         maxiter = x0.shape[1] * 5
@@ -87,6 +92,9 @@ def iterative_ridge_bfgs(f, x0, alpha=1.0, lr=1.0, xtol=1e-5, tikhonov=1e-4,
         x_new = jnp.where(is_zero, x, x - t * d)
         delta = jnp.linalg.norm((x_new - x).ravel())
         f_new, g_new = evaluate(x_new)
+        if verbose > 1:
+            jax.debug.print("iter {k} - loss: {f:.4f} - dx: {d:.4e}",
+                            k=k + 1, f=f_new, d=delta)
         done = jnp.logical_or(delta <= xtol,
                               jnp.logical_not(jnp.isfinite(f_new)))
 
@@ -98,8 +106,14 @@ def iterative_ridge_bfgs(f, x0, alpha=1.0, lr=1.0, xtol=1e-5, tikhonov=1e-4,
         *_, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
+    if verbose:
+        jax.debug.print("initial loss: {f:.4f}", f=f0)
     init = (x0, f0, g0, B0, t0, x0, g0, jnp.asarray(0), jnp.asarray(False))
-    x, _, _, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    x, f_fin, _, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    if verbose:
+        jax.debug.print(
+            "         Current function value: {f}\n"
+            "         Iterations: {k}", f=f_fin, k=k)
     if return_iters:
         return x, k
     return x

@@ -124,12 +124,17 @@ def lbfgs_update(state, x, g):
 
 def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
           history_size=100, line_search="brent", ls_options=None,
-          ls_maxiter=30, return_iters=False):
+          ls_maxiter=30, verbose=0, return_iters=False):
     """OWL-QN (reference owlqn.py:80-198).
 
     fun: traceable ``x -> scalar`` smooth loss (the l1 term is added here
     and excluded from gradients, as in the reference).
+
+    ``verbose`` mirrors the reference (owlqn.py:128-129, 183-185,
+    195-197): >=1 prints initial/final f and iterations, >1 adds a
+    per-iteration f / ||dx|| line.
     """
+    verbose = int(verbose)
     assert x0.ndim == 2
     if ls_options is None:
         ls_options = {}
@@ -183,6 +188,11 @@ def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
         x_new = project(x + t * d, eta)
         delta = jnp.linalg.norm((x_new - x).ravel())
         f_new, g_new, gp_new = evaluate(x_new)
+        if verbose > 1:
+            # per-iteration line (owlqn.py:183-185; ls_iters omitted —
+            # the golden-section search has a fixed trial count)
+            jax.debug.print("iter {k} - f: {f:.4f} - dx: {d:.3e}",
+                            k=k + 1, f=f_new, d=delta)
         done = delta <= xtol
         # hessian update skipped once converged (reference breaks first)
         lb_new = lbfgs_update(lb, x_new, g_new)
@@ -193,8 +203,14 @@ def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
         _, _, _, _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < max_iter)
 
+    if verbose:
+        jax.debug.print("initial f: {f:.4f}", f=f0)
     init = (x0, f0, g0, gp0, lb0, t0, jnp.asarray(0), jnp.asarray(False))
-    x, _, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    x, f_fin, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    if verbose:
+        jax.debug.print(
+            "         Current function value: {f}\n"
+            "         Iterations: {k}", f=f_fin, k=k)
     if return_iters:
         return x, k
     return x

@@ -94,7 +94,7 @@ def _lstsq_cg(fun, x, d, b, max_iter, mu, lambd, lr, xtol, cg_kwargs,
 
 def split_bregman_nl(fun, x0, lr=1.0, alpha=1.0, lambd=1.0, tau=1.0,
                      max_iter=None, inner_iter=5, lstsq_iter=5, xtol=1e-5,
-                     solver="cg", cg_kwargs=None):
+                     solver="cg", cg_kwargs=None, return_iters=False):
     """Nonlinear split Bregman (reference nl/sb.py:73-168).
 
     fun: traceable residual function ``x -> f(x)`` (vector output);
@@ -148,5 +148,7 @@ def split_bregman_nl(fun, x0, lr=1.0, alpha=1.0, lambd=1.0, tau=1.0,
 
     init = (x, jnp.zeros_like(x), jnp.zeros_like(x), cost_fn(x),
             jnp.asarray(jnp.inf, x.dtype), jnp.asarray(0))
-    x, *_ = lax.while_loop(cond, body, init)
+    x, _, _, _, _, nit = lax.while_loop(cond, body, init)
+    if return_iters:
+        return x.reshape(shape), nit
     return x.reshape(shape)
