@@ -89,14 +89,17 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
     ``fuse_steps``: number of FISTA iterations fused per kernel invocation
     (the iterates stay in VMEM between sub-steps, amortizing the z/z_prev
-    HBM round trips — 2.6x measured at 16 on v5e). 'auto' picks 16 when
-    ``tol == 0`` (fixed-iteration runs; arithmetic is identical to the
-    single-step kernel) and 1 otherwise, because convergence is only
-    tested every ``fuse_steps`` iterations — pass an int to opt in with a
-    nonzero tol (the solver may then run up to ``fuse_steps - 1``
-    iterations past the reference's stopping point; it never stops
-    earlier). A remainder loop runs any leftover ``maxiter % fuse_steps``
-    iterations one step at a time.
+    HBM round trips — 2.6x measured at 16 on v5e). 'auto' picks the
+    largest divisor of ``maxiter`` <= 32 (falling back to 16 with a
+    single-step remainder loop) whenever the fused kernel is engaged.
+    The block kernel computes the convergence statistic of its last
+    sub-step in-kernel, so convergence is tested every ``fuse_steps``
+    iterations: with ``tol > 0`` the solver may run up to
+    ``fuse_steps - 1`` iterations past the reference's stopping point
+    but NEVER stops earlier (the reference stops at the first iteration
+    whose delta passes, so any block boundary that passes is at or after
+    it — pinned by test_fused_ista.py). Pass ``fuse_steps=1`` for
+    exact every-iteration stopping parity at single-step kernel speed.
 
     ``per_sample_tol``: the reference stops the WHOLE batch on the global
     sum ``sum|dz| <= numel * tol`` (ista.py:93), so one slow sample keeps
@@ -205,10 +208,13 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         # blocks would silently drop them (reference prints every iter)
         S = 1
     elif fuse_steps == "auto":
-        if fused and isinstance(tol, (int, float)) and tol == 0.0:
+        if fused:
             # prefer the largest S <= 32 that divides maxiter (no
             # single-step remainder tail); fall back to 16-with-remainder
-            # when maxiter has no usable divisor
+            # when maxiter has no usable divisor. Engaged for any tol:
+            # the block kernel's in-kernel delta makes the every-S-steps
+            # convergence check safe (never stops before the reference
+            # would; see docstring)
             S = next((s for s in range(min(32, maxiter), 0, -1)
                       if maxiter % s == 0), 1)
             if S < 8:
