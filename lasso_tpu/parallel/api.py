@@ -28,25 +28,40 @@ from lasso_tpu.linear.sparse_encode import sparse_encode
 from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
                                      replicated, weight_sharding)
 
+# Solver families routed through shard_map (per-device local shapes, so
+# their Pallas kernels stay usable on multi-chip meshes). 'ista' and
+# 'interior-point' have batch-GLOBAL stopping statistics in the reference
+# and take an axis_name to psum them; cd / cd-mod stop per sample, so
+# shards legitimately exit their loops independently with no collective.
+_SHARD_MAP_ALGOS = ("ista", "cd", "cd-mod", "interior-point")
+_AXIS_NAME_ALGOS = ("ista", "interior-point")
+# Solvers with a use_pallas switch: under the GSPMD route they must run
+# the plain XLA path — a pallas_call is a custom call GSPMD cannot
+# partition, and on TPU 'auto' would otherwise engage it on global shapes.
+_PALLAS_ALGOS = ("ista", "cd", "cd-mod")
+
 
 def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
                          algorithm="ista", **kwargs):
     """Shard the batch over the mesh's 'data' axis and encode.
 
     Per-sample solves are independent; the only cross-device traffic is the
-    global convergence reduction inside the solver loop.
+    global convergence reduction inside the solver loop (for the solvers
+    that have one).
     """
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
     z_sh = code_sharding(mesh, shard_atoms)
 
-    if algorithm == "ista" and not shard_atoms:
+    if algorithm in _SHARD_MAP_ALGOS and not shard_atoms:
         # per-sample arrays (z0 warm starts) must enter shard_map as
         # explicit 'data'-sharded operands, not closed-over globals —
         # the local body sees per-device shapes
         z0 = kwargs.pop("z0", None)
-        local = partial(sparse_encode, alpha=alpha, algorithm="ista",
-                        axis_name="data", **kwargs)
+        extra = ({"axis_name": "data"}
+                 if algorithm in _AXIS_NAME_ALGOS else {})
+        local = partial(sparse_encode, alpha=alpha, algorithm=algorithm,
+                        **extra, **kwargs)
         if z0 is not None:
             fn_z0 = jax.jit(jax.shard_map(
                 lambda x, w, z0: local(x, w, z0=z0), mesh=mesh,
@@ -60,6 +75,8 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
             in_specs=(P("data"), P()), out_specs=P("data"),
             check_vma=False))
     else:
+        if algorithm in _PALLAS_ALGOS:
+            kwargs.setdefault("use_pallas", False)
         fn = jax.jit(
             partial(sparse_encode, alpha=alpha, algorithm=algorithm,
                     **kwargs),
@@ -82,13 +99,15 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
 
-    if algorithm == "ista" and not shard_atoms:
+    if algorithm in _SHARD_MAP_ALGOS and not shard_atoms:
         # shard_map route: psum-reduced Gram statistics (SURVEY.md §2.3),
         # via update_dict_ridge's own axis_name support
+        extra = ({"axis_name": "data"}
+                 if algorithm in _AXIS_NAME_ALGOS else {})
 
         def local_step(x, weight):
-            Z = sparse_encode(x, weight, alpha, algorithm="ista",
-                              axis_name="data", **solver_kwargs)
+            Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
+                              **extra, **solver_kwargs)
             n_global = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype),
                                     "data")
             loss = jax.lax.psum(
@@ -102,6 +121,9 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
             in_specs=(P("data"), P()), out_specs=(P(), P()),
             check_vma=False))
         return jit_step, (x_sh, w_sh)
+
+    if algorithm in _PALLAS_ALGOS:
+        solver_kwargs.setdefault("use_pallas", False)
 
     def step(x, weight):
         Z = sparse_encode(x, weight, alpha, algorithm=algorithm,

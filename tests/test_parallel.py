@@ -89,18 +89,91 @@ def test_train_step_sharded_matches_local(rng, mesh8):
 
 
 def test_data_parallel_encode_gspmd_route(rng, mesh8):
-    """Non-ISTA algorithms take the GSPMD route (jit + shardings). Greedy
-    CD's argmax coordinate pick is discontinuous, so reduction-order noise
-    under sharding can flip trajectories — compare objectives, not z."""
+    """Algorithms without a shard_map route (here GPSR, whose stopping is
+    batch-global through dot products the solver owns) take the GSPMD
+    route (jit + shardings); XLA inserts the collectives."""
     from lasso_tpu.linear import lasso_loss
     x, W = make_problem(rng)
-    z_single = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=500,
-                             tol=1e-8)
-    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, algorithm="cd",
-                                   maxiter=500, tol=1e-8)
+    z_single = sparse_encode(x, W, 0.2, algorithm="gpsr", maxiter=200)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2,
+                                   algorithm="gpsr", maxiter=200)
     f_single = float(lasso_loss(x, z_single, W, 0.2))
     f_shard = float(lasso_loss(x, jnp.asarray(np.asarray(z_shard)), W, 0.2))
     np.testing.assert_allclose(f_shard, f_single, rtol=1e-4)
+
+
+def test_data_parallel_encode_cd_shard_map(rng, mesh8):
+    """Greedy CD routes through shard_map (per-sample active sets need no
+    collective; shards exit their loops independently). With the kernel
+    force-enabled (interpret mode on CPU) it sees LOCAL shapes — the
+    combination that is impossible under GSPMD (VERDICT r1 item 3)."""
+    x, W = make_problem(rng, k=128)  # K=128: fused-CD-supported shape
+    z_single = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=300,
+                             tol=1e-8, use_pallas=True)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, algorithm="cd",
+                                   maxiter=300, tol=1e-8, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
+def test_data_parallel_encode_cd_mod_shard_map(rng, mesh8):
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="cd-mod", max_iter=200)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2,
+                                   algorithm="cd-mod", max_iter=200)
+    # last-ulp reduction-order noise in the per-sample duality-gap check
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-4)
+
+
+def test_data_parallel_encode_interior_point_shard_map(rng, mesh8):
+    """IP routes through shard_map with axis_name='data': its mean-over-
+    batch stopping test psums to the GLOBAL batch mean, so the sharded
+    run reproduces the single-device barrier schedule exactly."""
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="interior-point",
+                             maxiter=30)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2,
+                                   algorithm="interior-point", maxiter=30)
+    # the psum'd batch means match the global means to float-sum noise;
+    # threshold crossings in the barrier schedule amplify it slightly
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-3)
+
+
+def test_data_parallel_encode_pallas_gated_under_gspmd(rng, mesh_tp):
+    """With atom sharding the GSPMD route is the only option; solvers with
+    kernels must default to use_pallas=False there (a pallas_call cannot
+    be partitioned by GSPMD)."""
+    from lasso_tpu.linear import lasso_loss
+    x, W = make_problem(rng, k=128)
+    z_single = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=300,
+                             tol=1e-8, use_pallas=False)
+    z_shard = data_parallel_encode(mesh_tp, x, W, alpha=0.2,
+                                   shard_atoms=True, algorithm="cd",
+                                   maxiter=300, tol=1e-8)
+    f_single = float(lasso_loss(x, z_single, W, 0.2))
+    f_shard = float(lasso_loss(x, jnp.asarray(np.asarray(z_shard)), W, 0.2))
+    np.testing.assert_allclose(f_shard, f_single, rtol=1e-4)
+
+
+def test_train_step_cd_shard_map(rng, mesh8):
+    """EM training with a CD encoder over the mesh (shard_map route +
+    psum Gram reductions)."""
+    x, W = make_problem(rng)
+    step, (x_sh, w_sh) = make_train_step(mesh8, alpha=0.2, lambd=1e-2,
+                                         algorithm="cd", maxiter=300,
+                                         tol=1e-8)
+    W_new_sh, loss_sh = step(jax.device_put(x, x_sh),
+                             jax.device_put(W, w_sh))
+
+    from lasso_tpu.linear import lasso_loss
+    Z = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=300, tol=1e-8)
+    loss_local = lasso_loss(x, Z, W, 0.2)
+    W_new_local = update_dict_ridge(x, Z, lambd=1e-2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_local), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(W_new_sh),
+                               np.asarray(W_new_local), atol=5e-4)
 
 
 def test_train_step_with_tp(rng, mesh_tp):
