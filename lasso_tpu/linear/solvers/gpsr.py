@@ -213,7 +213,8 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
     one shared stopping test (gpsr.py:257) — to fully independent
     per-sample solves (vmapped core: per-sample step sizes, line
     searches, continuation ladders, and stopping; converged samples
-    freeze). The debias phase, when enabled, remains batch-global.
+    freeze). The debias phase, when enabled, is also vmapped per sample
+    (independent support masks, CG stops, and skip decisions).
     Default False for reference parity.
 
     ``verbose`` prints the reference's per-iteration report line
@@ -298,8 +299,18 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
         n_iter_total = n_iter_total + n_it
 
     if debias:
-        x = _debias(x, y, tau, A, AT, tol=tol_debias,
-                    miniter=miniter_debias, maxiter=maxiter_debias)
+        if per_sample:
+            # per-sample masked-CG debias: each sample gets its own
+            # support mask, CG tolerance ladder, and skip decision
+            # (num_nz_i == 0 or > D), completing the per-sample upgrade —
+            # the batch-global version couples step sizes across rows
+            x = jax.vmap(
+                lambda x_, y_: _debias(x_, y_, tau, A, AT, tol=tol_debias,
+                                       miniter=miniter_debias,
+                                       maxiter=maxiter_debias))(x, y)
+        else:
+            x = _debias(x, y, tau, A, AT, tol=tol_debias,
+                        miniter=miniter_debias, maxiter=maxiter_debias)
 
     if per_sample:
         xf = jnp.where(trivial[:, None], jnp.zeros_like(x), x)

@@ -145,3 +145,32 @@ def test_owlqn_mlp_decoder(rng):
     f0 = float(fun(z0) + alpha * jnp.sum(jnp.abs(z0)))
     f1 = float(fun(z) + alpha * jnp.sum(jnp.abs(z)))
     assert np.isfinite(f1) and f1 < f0
+
+
+def test_ista_nl_lr_refresh(rng):
+    """lr_refresh=k reuses the cached per-sample step size between power-
+    iteration refreshes: parity at k=1 (reference cadence), near-identical
+    objective at k=4 (docs/DIVERGENCES.md #15)."""
+    import jax.numpy as jnp
+    from lasso_tpu.nonlinear import ista_nl
+
+    x = jnp.asarray(rng.standard_normal((8, 12)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((20, 12)) / np.sqrt(20)).astype(np.float32))
+    z0 = jnp.zeros((8, 20), jnp.float32)
+    dec = lambda z: jnp.tanh(z) @ W
+
+    z_every = ista_nl(x, z0, dec, alpha=0.1, maxiter=30, tol=0.0)
+    z_default = ista_nl(x, z0, dec, alpha=0.1, maxiter=30, tol=0.0,
+                        lr_refresh=1)
+    np.testing.assert_array_equal(np.asarray(z_every),
+                                  np.asarray(z_default))
+
+    z_lazy = ista_nl(x, z0, dec, alpha=0.1, maxiter=30, tol=0.0,
+                     lr_refresh=4)
+
+    def obj(z):
+        r = dec(z) - x
+        return float(0.5 * jnp.sum(r * r) + 0.1 * jnp.sum(jnp.abs(z)))
+
+    assert abs(obj(z_lazy) - obj(z_every)) <= 1e-4 * max(1.0, obj(z_every))
