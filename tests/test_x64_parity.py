@@ -1,0 +1,212 @@
+"""x64 golden-parity matrix (VERDICT r1 item 2): every solver certified
+against the reference at <= 1e-6 relative objective gap under float64,
+where both frameworks converge tightly enough for the SURVEY/BASELINE
+criterion to be meaningful (f32 rounding caps the f32 golden tests at
+~1e-4).
+
+Measured gaps at these configs (2026-08-16): ista 2e-16, cd 0, cd-mod 0,
+gpsr 0, interior-point 0 (both kkt_solvers), split-bregman 0, iter-ridge
+4e-8, own 8e-7 (ls_maxiter=60 — the in-jit golden-section needs ~60
+trials to match scipy-Brent's step resolution; at the default 30 the gap
+is 1.5e-6), conv-ista 1e-16, ista_nl 0, owlqn 1e-9, irb 3e-9, sb_nl 1e-11.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from lasso_tpu.linear import sparse_encode
+
+from _oracles import lasso_objective, load_reference
+
+
+@pytest.fixture(scope="module")
+def linear_problem():
+    rng = np.random.default_rng(7)
+    n = d = 16  # n == d sidesteps the reference's cd-mod z0 shape bug
+    k = 32
+    x = rng.standard_normal((n, d))
+    W = rng.standard_normal((d, k))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    return x, W, 0.2
+
+
+LINEAR_MATRIX = [
+    # (algorithm, reference kwargs, extra kwargs only for our side)
+    ("ista", dict(maxiter=20000, tol=1e-12), {}),
+    ("cd", dict(maxiter=20000, tol=1e-12), {}),
+    ("gpsr", dict(maxiter=5000, tol=1e-8), {}),
+    ("interior-point", dict(maxiter=100, tol=1e-6), {}),
+    ("interior-point", dict(maxiter=100, tol=1e-6),
+     dict(kkt_solver="cg", cg_rtol=1e-12, cg_maxiter=1000)),
+    ("iter-ridge", dict(maxiter=100, tol=1e-10), {}),
+    ("split-bregman", dict(maxiter=500, tol=1e-12), {}),
+    # golden-section needs ~60 trials to match scipy-Brent's resolution
+    ("own", dict(maxiter=100, xtol=1e-10), dict(ls_maxiter=60)),
+]
+
+
+@pytest.mark.parametrize("algo,kw,ours_kw", LINEAR_MATRIX)
+def test_linear_solver_x64_parity(linear_problem, algo, kw, ours_kw):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    x, W, alpha = linear_problem
+
+    z_ref = lasso_ref.linear.sparse_encode(
+        torch.from_numpy(x), torch.from_numpy(W), alpha,
+        algorithm=algo, **kw)
+    with jax.enable_x64():
+        z = sparse_encode(jnp.asarray(x), jnp.asarray(W), alpha,
+                          algorithm=algo, **kw, **ours_kw)
+
+    f_ref = lasso_objective(x, W, z_ref.numpy(), alpha)
+    f_tpu = lasso_objective(x, W, np.asarray(z), alpha)
+    assert abs(f_tpu - f_ref) <= 1e-6 * abs(f_ref), (algo, f_tpu, f_ref)
+
+
+def test_cd_mod_x64_parity(linear_problem):
+    """cd-mod is not dispatched by the reference's sparse_encode; call it
+    directly (n == d avoids its z0 shape bug, DIVERGENCES #1)."""
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    x, W, alpha = linear_problem
+
+    z_ref, _ = lasso_ref.linear.solvers.coord_descent_mod(
+        torch.from_numpy(x), torch.from_numpy(W), alpha=alpha,
+        max_iter=5000, tol=1e-12)
+    with jax.enable_x64():
+        z = sparse_encode(jnp.asarray(x), jnp.asarray(W), alpha,
+                          algorithm="cd-mod", max_iter=5000, tol=1e-12)
+    f_ref = lasso_objective(x, W, z_ref.numpy(), alpha)
+    f_tpu = lasso_objective(x, W, np.asarray(z), alpha)
+    assert abs(f_tpu - f_ref) <= 1e-6 * abs(f_ref)
+
+
+def test_conv_ista_x64_parity():
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    import torch.nn.functional as F
+    from lasso.conv2d.ista import ista_conv2d as ref_conv_ista
+
+    from lasso_tpu.conv2d import ista_conv2d
+
+    rng = np.random.default_rng(7)
+    N, Cz, Cx, H = 2, 4, 3, 8
+    k = rng.standard_normal((Cz, Cx, 3, 3)) * 0.2
+    x = rng.standard_normal((N, Cx, H, H))
+    z0 = np.zeros((N, Cz, H, H))
+    alpha = 0.05
+
+    def obj(z):
+        zt = torch.from_numpy(np.asarray(z))
+        xh = F.conv_transpose2d(zt, torch.from_numpy(k), padding=1)
+        return float(0.5 * (xh - torch.from_numpy(x)).square().sum()
+                     + alpha * zt.abs().sum())
+
+    z_ref = ref_conv_ista(torch.from_numpy(x), torch.from_numpy(z0),
+                          torch.from_numpy(k), alpha=alpha, lr=0.05,
+                          padding=1, maxiter=3000, tol=1e-14)
+    with jax.enable_x64():
+        z = ista_conv2d(jnp.asarray(x), jnp.asarray(z0), jnp.asarray(k),
+                        alpha=alpha, lr=0.05, padding=1, maxiter=3000,
+                        tol=1e-14)
+    f_ref, f_tpu = obj(z_ref.numpy()), obj(np.asarray(z))
+    assert abs(f_tpu - f_ref) <= 1e-6 * abs(f_ref)
+
+
+@pytest.fixture(scope="module")
+def nl_problem():
+    rng = np.random.default_rng(7)
+    k, h, d, n = 6, 12, 10, 5
+    w1 = rng.standard_normal((k, h)) * 0.4
+    w2 = rng.standard_normal((h, d)) * 0.4
+    x = rng.standard_normal((n, d))
+    z0 = rng.standard_normal((n, k)) * 0.1
+    return w1, w2, x, z0
+
+
+def _decoders(w1, w2):
+    """Build the twin decoders. MUST be called inside jax.enable_x64():
+    jnp.asarray outside the context truncates the weights to f32, which
+    silently degrades the jax side's trajectory (caught the hard way)."""
+    import torch.nn as nn
+
+    w1j, w2j = jnp.asarray(w1), jnp.asarray(w2)
+    assert w1j.dtype == jnp.float64
+    dec_j = lambda z: jnp.tanh(z @ w1j) @ w2j
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = nn.Linear(w1.shape[0], w1.shape[1],
+                                bias=False).double()
+            self.l2 = nn.Linear(w2.shape[0], w2.shape[1],
+                                bias=False).double()
+            with torch.no_grad():
+                self.l1.weight.copy_(torch.from_numpy(w1.T))
+                self.l2.weight.copy_(torch.from_numpy(w2.T))
+
+        def forward(self, z):
+            return self.l2(torch.tanh(self.l1(z)))
+
+    return dec_j, Dec()
+
+
+def _nl_obj(w1, w2, x, alpha, z):
+    z = np.asarray(z)
+    return float(0.5 * np.sum((np.tanh(z @ w1) @ w2 - x) ** 2)
+                 + alpha * np.sum(np.abs(z)))
+
+
+def test_nonlinear_x64_parity(nl_problem):
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    from lasso_tpu.nonlinear import (ista_nl, iterative_ridge_bfgs, owlqn,
+                                     split_bregman_nl)
+
+    w1, w2, x, z0 = nl_problem
+    alpha = 0.05
+    obj = lambda z: _nl_obj(w1, w2, x, alpha, z)
+    xt, z0t = torch.from_numpy(x), torch.from_numpy(z0)
+
+    with jax.enable_x64():
+        dec_j, dec_t = _decoders(w1, w2)
+        fun_t = lambda z: 0.5 * ((dec_t(z) - xt) ** 2).sum()
+        xj, z0j = jnp.asarray(x), jnp.asarray(z0)
+        fun_j = lambda z: 0.5 * jnp.sum(jnp.square(dec_j(z) - xj))
+
+        z_ref = lasso_ref.nonlinear.ista_nl(
+            xt, z0t, dec_t, alpha=alpha, lr=0.05, maxiter=3000, tol=1e-14)
+        z = ista_nl(xj, z0j, dec_j, alpha=alpha, lr=0.05, maxiter=3000,
+                    tol=1e-14)
+        f_r, f_t = obj(z_ref.numpy()), obj(z)
+        assert abs(f_t - f_r) <= 1e-6 * abs(f_r), ("ista_nl", f_t, f_r)
+
+        z_ref = lasso_ref.nonlinear.owlqn(
+            fun_t, z0t, alpha=alpha, max_iter=100, xtol=1e-12)
+        z = owlqn(fun_j, z0j, alpha=alpha, max_iter=100, xtol=1e-12,
+                  ls_maxiter=60)
+        f_r, f_t = obj(z_ref.numpy()), obj(z)
+        assert abs(f_t - f_r) <= 1e-6 * abs(f_r), ("owlqn", f_t, f_r)
+
+        z_ref = lasso_ref.nonlinear.iterative_ridge_bfgs(
+            fun_t, z0t + 0.2, alpha=alpha, xtol=1e-12)
+        z = iterative_ridge_bfgs(fun_j, z0j + 0.2, alpha=alpha,
+                                 xtol=1e-12, ls_maxiter=60)
+        f_r, f_t = obj(z_ref.numpy()), obj(z)
+        assert abs(f_t - f_r) <= 1e-6 * abs(f_r), ("irb", f_t, f_r)
+
+        resid_t = lambda z: dec_t(z) - xt
+        resid_j = lambda z: dec_j(z) - xj
+        z_ref = lasso_ref.nonlinear.split_bregman_nl(
+            resid_t, z0t, alpha=alpha, max_iter=30, solver="exact")
+        z = split_bregman_nl(resid_j, z0j, alpha=alpha, max_iter=30,
+                             solver="exact")
+        f_r, f_t = obj(z_ref.numpy()), obj(z)
+        assert abs(f_t - f_r) <= 1e-6 * abs(f_r), ("sb_nl", f_t, f_r)
