@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--max-chunks", type=int, default=200)
     ap.add_argument("--reference", action="store_true",
                     help="also measure pytorch-lasso on CPU")
+    ap.add_argument("--restart", action="store_true",
+                    help="per-row adaptive momentum restart (the "
+                         "algorithmic time-to-gap lever; see ista(restart=))")
     args = ap.parse_args()
 
     import jax
@@ -55,27 +58,54 @@ def main():
     S = next((s for s in range(min(32, args.chunk), 0, -1)
               if args.chunk % s == 0), 1) if fused else 1
 
-    @jax.jit
-    def run_chunk(z, z_prev, t, mom):
-        def body(_, carry):
-            z, z_prev, t, mom = carry
-            moms = []
-            for _s in range(S):
-                moms.append(mom)
-                t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-                mom = (t - 1) / t_next
-                t = t_next
-            if fused:
-                z_next, z_pen, _ = fused_fista_multistep(
-                    x, z, z_prev, W, lr, args.alpha * lr, jnp.stack(moms),
-                    steps=S)
-            else:
-                z_next, _ = fista_step_reference(x, z, z_prev, W, lr,
-                                                 args.alpha, moms[0])
-                z_pen = z
-            return (z_next, z_pen, t, mom)
-        return jax.lax.fori_loop(0, args.chunk // S, body,
-                                 (z, z_prev, t, mom))
+    if args.restart:
+        from lasso_tpu.ops.shrink import soft_threshold
+        lr_s = jnp.broadcast_to(jnp.float32(lr), (S,))
+        th_s = lr_s * jnp.float32(args.alpha)
+
+        @jax.jit
+        def run_chunk(z, z_prev, t_vec):
+            def body(_, carry):
+                z, z_prev, t_vec = carry
+                if fused:
+                    z_next, z_pen, t_new, _ = fused_fista_multistep(
+                        x, z, z_prev, W, lr_s, th_s, jnp.zeros((S,)),
+                        steps=S, t_vec=t_vec)
+                else:
+                    t_next = (1 + jnp.sqrt(1 + 4 * t_vec * t_vec)) / 2
+                    y = z + ((t_vec - 1) / t_next) * (z - z_prev)
+                    g = jnp.matmul(
+                        jnp.matmul(y, W.T) - x, W)
+                    z_next = soft_threshold(y - lr * g, args.alpha * lr)
+                    rdot = jnp.sum((y - z_next) * (z_next - z), axis=1,
+                                   keepdims=True)
+                    t_new = jnp.where(rdot > 0, 1.0, t_next)
+                    z_pen = z
+                return (z_next, z_pen, t_new)
+            return jax.lax.fori_loop(0, args.chunk // S, body,
+                                     (z, z_prev, t_vec))
+    else:
+        @jax.jit
+        def run_chunk(z, z_prev, t, mom):
+            def body(_, carry):
+                z, z_prev, t, mom = carry
+                moms = []
+                for _s in range(S):
+                    moms.append(mom)
+                    t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                    mom = (t - 1) / t_next
+                    t = t_next
+                if fused:
+                    z_next, z_pen, _ = fused_fista_multistep(
+                        x, z, z_prev, W, lr, args.alpha * lr,
+                        jnp.stack(moms), steps=S)
+                else:
+                    z_next, _ = fista_step_reference(x, z, z_prev, W, lr,
+                                                     args.alpha, moms[0])
+                    z_pen = z
+                return (z_next, z_pen, t, mom)
+            return jax.lax.fori_loop(0, args.chunk // S, body,
+                                     (z, z_prev, t, mom))
 
     @jax.jit
     def objective(z):
@@ -84,15 +114,18 @@ def main():
 
     # converged reference objective: long run
     z = jnp.zeros((args.n, args.k), jnp.float32)
-    state = (z, z, jnp.float32(1), jnp.float32(0))
+    if args.restart:
+        init = (z, z, jnp.zeros((args.n, 1), jnp.float32))
+    else:
+        init = (z, z, jnp.float32(1), jnp.float32(0))
+    state = init
     for _ in range(args.max_chunks):
         state = run_chunk(*state)
     f_star = float(objective(state[0]))
 
     # timed run to the gap (chunk boundaries only; compile excluded)
-    state = (z, z, jnp.float32(1), jnp.float32(0))
-    state = jax.block_until_ready(run_chunk(*state))  # warm (already built)
-    state = (z, z, jnp.float32(1), jnp.float32(0))
+    state = jax.block_until_ready(run_chunk(*init))  # warm (already built)
+    state = init
     t0 = time.perf_counter()
     iters = 0
     reached = None
@@ -105,7 +138,8 @@ def main():
             break
     print(json.dumps({
         "system": f"lasso_tpu[{jax.default_backend()}]"
-                  + ("+pallas" if fused else ""),
+                  + ("+pallas" if fused else "")
+                  + ("+restart" if args.restart else ""),
         "config": f"{args.n}x({args.d}->{args.k})",
         "gap": args.gap,
         "seconds_to_gap": None if reached is None else round(reached, 3),

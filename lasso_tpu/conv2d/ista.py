@@ -20,8 +20,15 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
-                maxiter=10, lr="auto", tol=1e-5, return_iters=False):
-    """Conv FISTA (reference conv2d/ista.py:7-48)."""
+                maxiter=10, lr="auto", tol=1e-5, restart=False,
+                return_iters=False):
+    """Conv FISTA (reference conv2d/ista.py:7-48).
+
+    ``restart=True``: per-sample adaptive momentum restart (O'Donoghue &
+    Candes), same lever as :func:`lasso_tpu.linear.solvers.ista` — each
+    sample carries its own t-sequence and resets it when its
+    gradient-mapping test fires. Off by default for reference parity.
+    """
     if isinstance(lr, str):
         if lr != "auto":
             raise ValueError(f"invalid lr {lr!r}")
@@ -48,6 +55,29 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     def cond(state):
         _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+    if restart:
+        if not fast:
+            raise ValueError("restart=True requires fast=True")
+        feat_axes = tuple(range(1, z0.ndim))
+
+        def body_r(state):
+            z, z_prev, t_vec, k, _ = state
+            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
+            y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
+            z_new = step(y)
+            rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
+                           keepdims=True)
+            t_new = jnp.where(rdot > 0, 1.0, t_next)
+            done = jnp.sum(jnp.abs(z_new - z)) <= tol_total
+            return (z_new, z, t_new, k + 1, done)
+
+        t0 = jnp.zeros((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
+        init = (z0, z0, t0, jnp.asarray(0), jnp.asarray(False))
+        z, _, _, k, _ = lax.while_loop(cond, body_r, init)
+        if return_iters:
+            return z, k
+        return z
 
     def body(state):
         z, y, t, k, _ = state

@@ -75,7 +75,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", axis_name=None,
-         per_sample_tol=False, verbose=False, return_iters=False):
+         per_sample_tol=False, restart=False, verbose=False,
+         return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -114,6 +115,17 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     convergence statistic ``sum|dz| <= numel * tol`` is psum-reduced across
     shards (preserving the reference's whole-batch stopping semantics; the
     per-sample solves themselves need no communication).
+
+    ``restart=True`` enables PER-ROW adaptive momentum restart
+    (O'Donoghue & Candes 2015): each sample carries its own FISTA
+    t-sequence and resets it when its gradient-mapping test
+    ``<y - z+, z+ - z> > 0`` fires. FISTA is row-separable, so this is
+    exact, and inside the fused kernel the test is a free VPU reduce
+    over VMEM-resident data. It leaves per-iteration cost unchanged but
+    cuts iterations-to-small-gap severalfold on sparse problems (plain
+    FISTA oscillates near the optimum). Off by default for reference
+    parity (the reference has no restart); requires ``fast=True`` and is
+    exclusive with ``backtrack``/``per_sample_tol``.
 
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
@@ -224,6 +236,63 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     else:
         S = max(1, int(fuse_steps)) if fused else 1
     S = min(S, maxiter)
+
+    if restart:
+        if not fast or backtrack or per_sample_tol:
+            raise ValueError("restart=True requires fast=True and is "
+                             "exclusive with backtrack/per_sample_tol")
+
+        def xla_restart_step(z, z_prev, t_vec):
+            # carry convention t_{k-1}, init 0: first momentum coeff is
+            # (0-1)/1 = -1 against a zero (z - z_prev) difference
+            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
+            y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
+            z_new = soft_threshold(y - lr * rss_grad(y), alpha * lr)
+            rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
+                           keepdims=True)
+            t_new = jnp.where(rdot > 0, 1.0, t_next)
+            return z_new, z, t_new
+
+        def cond_r(state):
+            _, _, _, k, done = state
+            return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+
+        def body_r(state):
+            z, z_prev, t_vec, k, _ = state
+            z_new, z_pen, t_new = xla_restart_step(z, z_prev, t_vec)
+            delta = jnp.sum(jnp.abs(z_new - z))
+            if axis_name is not None:
+                delta = lax.psum(delta, axis_name)
+            return (z_new, z_pen, t_new, k + 1, delta <= tol_total)
+
+        t0_vec = jnp.zeros((x.shape[0], 1), jnp.float32)
+        state = (z0, z0, t0_vec, jnp.asarray(0), jnp.asarray(False))
+
+        if fused and S > 1:
+            lr_s = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), (S,))
+            th_s = lr_s * jnp.asarray(alpha, jnp.float32)
+
+            def cond_rm(st):
+                _, _, _, k, done = st
+                return jnp.logical_and(jnp.logical_not(done),
+                                       k + S <= maxiter)
+
+            def body_rm(st):
+                z, z_prev, t_vec, k, _ = st
+                z_new, z_pen, t_new, delta = fused_fista_multistep(
+                    x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
+                    steps=S, interpret=interpret,
+                    kernel_precision=kernel_precision, t_vec=t_vec)
+                if axis_name is not None:
+                    delta = lax.psum(delta, axis_name)
+                return (z_new, z_pen, t_new, k + S, delta <= tol_total)
+
+            state = lax.while_loop(cond_rm, body_rm, state)
+
+        z, _, _, k, _ = lax.while_loop(cond_r, body_r, state)
+        if return_iters:
+            return z, k
+        return z
 
     t0 = jnp.asarray(1.0, x.dtype)
     mom0 = jnp.asarray(0.0, x.dtype)

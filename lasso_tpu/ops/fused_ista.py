@@ -242,7 +242,7 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     return z_next, delta[0, 0]
 
 
-def _make_multistep_kernel(steps, split_float):
+def _make_multistep_kernel(steps, split_float, restart=False):
     """Build an S-step fused FISTA kernel body.
 
     FISTA is row-parallel over the batch: z_next for a tile depends only on
@@ -251,19 +251,47 @@ def _make_multistep_kernel(steps, split_float):
     VMEM. Per-iteration HBM traffic drops from 3NK+ND to (4NK+ND)/S —
     measured 2.6x end-to-end at S=16 (bf16) on v5e vs the single-step
     kernel, which sits at the same ms/iter as a bare 2-matmul XLA chain.
+
+    ``restart=True`` adds PER-ROW adaptive momentum restart (O'Donoghue &
+    Candes 2015): the FISTA t-sequence is carried per row ([bn, 1] in
+    VMEM), and a row whose gradient-mapping test
+    ``<y - z_new, z_new - z> > 0`` fires resets its own t to 1 (zero
+    momentum for its next step). FISTA is row-separable, so per-row
+    restart is exact — and the test is one VPU multiply-reduce per
+    sub-step over data already resident in VMEM, i.e. free next to the
+    matmuls. This is the algorithmic lever that cuts iterations-to-gap:
+    plain FISTA's momentum overshoots and oscillates near the optimum.
     """
     def kernel(scal_ref, x_ref, z_ref, zp_ref, *refs):
-        if split_float:
-            w_hi_ref, w_lo_ref, z_out_ref, zp_out_ref, delta_ref = refs
-            w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
+        if restart:
+            if split_float:
+                (w_hi_ref, w_lo_ref, t_in_ref, z_out_ref, zp_out_ref,
+                 t_out_ref, delta_ref) = refs
+                w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
+            else:
+                (w_ref, t_in_ref, z_out_ref, zp_out_ref, t_out_ref,
+                 delta_ref) = refs
+                w = w_ref[:]
+            t = t_in_ref[:]                                # [bn, 1]
         else:
-            w_ref, z_out_ref, zp_out_ref, delta_ref = refs
-            w = w_ref[:]
+            if split_float:
+                w_hi_ref, w_lo_ref, z_out_ref, zp_out_ref, delta_ref = refs
+                w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
+            else:
+                w_ref, z_out_ref, zp_out_ref, delta_ref = refs
+                w = w_ref[:]
         z = z_ref[:]
         zp = zp_ref[:]
         x = x_ref[:]
         for s in range(steps):
-            y = z + scal_ref[s, 2] * (z - zp)
+            if restart:
+                # carry convention: t entering iteration k is t_{k-1}
+                # (init 0 so the first momentum coefficient is exactly 0
+                # while z == z_prev)
+                t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
+                y = z + ((t - 1.0) / t_next) * (z - zp)
+            else:
+                y = z + scal_ref[s, 2] * (z - zp)
             if split_float:
                 y_hi, y_lo = _split_bf16(y)
                 resid = (_dot_nt(y_hi, w_hi) + _dot_nt(y_hi, w_lo)
@@ -276,10 +304,16 @@ def _make_multistep_kernel(steps, split_float):
                 grad = _dot_nn(resid, w)
             z_new = soft_threshold(y - scal_ref[s, 0] * grad,
                                    scal_ref[s, 1])
+            if restart:
+                rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
+                               keepdims=True)
+                t = jnp.where(rdot > 0, 1.0, t_next)
             zp = z
             z = z_new
         z_out_ref[:] = z
         zp_out_ref[:] = zp
+        if restart:
+            t_out_ref[:] = t
 
         # convergence statistic of the LAST sub-step, accumulated across
         # the sequential grid
@@ -297,7 +331,7 @@ def _make_multistep_kernel(steps, split_float):
                                     "kernel_precision"))
 def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
                           block_n=512, interpret=False,
-                          kernel_precision="f32"):
+                          kernel_precision="f32", t_vec=None):
     """``steps`` fused FISTA iterations in ONE kernel invocation.
 
     ``lrs``/``threshs``/``moms`` are length-``steps`` vectors giving the
@@ -310,9 +344,16 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
     last sub-step. The S sub-steps perform exactly the same arithmetic as
     S single-step kernel calls; only the HBM round trips between them are
     removed.
+
+    ``t_vec`` ([N, 1] float32, carry convention t_{k-1} with init 0)
+    switches the kernel to PER-ROW adaptive-restart momentum: ``moms`` is
+    ignored, the t-sequence is advanced in-kernel per row, and rows whose
+    gradient-mapping restart test fires reset their momentum. The return
+    becomes ``(z_final, z_penultimate, t_out, delta)``.
     """
     N, D = x.shape
     K = weight.shape[1]
+    restart = t_vec is not None
     w_bytes = (4 if kernel_precision == "f32" else 2) * D * K
     block_n = _pick_block_n(N, D, K, w_bytes, block_n)
     grid = (N // block_n,)
@@ -328,6 +369,8 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
     tile_d = pl.BlockSpec((block_n, D), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     tile_k = lambda: pl.BlockSpec((block_n, K), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    tile_1 = lambda: pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     full_w = lambda: pl.BlockSpec((D, K), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
@@ -345,21 +388,29 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
                          f"{kernel_precision!r}")
 
-    kernel = _make_multistep_kernel(steps, kernel_precision == "f32")
+    kernel = _make_multistep_kernel(steps, kernel_precision == "f32",
+                                    restart=restart)
 
-    z_next, z_pen, delta = pl.pallas_call(
+    in_specs = [smem_in, tile_d, tile_k(), tile_k()] + w_specs
+    in_args = [scal, x, z, z_prev, *w_args]
+    out_specs = [tile_k(), tile_k()]
+    out_shape = [jax.ShapeDtypeStruct((N, K), jnp.float32),
+                 jax.ShapeDtypeStruct((N, K), jnp.float32)]
+    if restart:
+        in_specs.append(tile_1())
+        in_args.append(t_vec)
+        out_specs.append(tile_1())
+        out_shape.append(jax.ShapeDtypeStruct((N, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem_in, tile_d, tile_k(), tile_k()] + w_specs,
-        out_specs=[
-            tile_k(), tile_k(),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, K), jnp.float32),
-            jax.ShapeDtypeStruct((N, K), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=steps * flops_per_step,
             bytes_accessed=(4 * N * K + N * D + D * K) * 4,
@@ -368,8 +419,12 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(scal, x, z, z_prev, *w_args)
+    )(*in_args)
 
+    if restart:
+        z_next, z_pen, t_out, delta = outs
+        return z_next, z_pen, t_out, delta[0, 0]
+    z_next, z_pen, delta = outs
     return z_next, z_pen, delta[0, 0]
 
 

@@ -126,3 +126,26 @@ def test_conv_ista_auto_lr_stride2(rng):
     x_hat = conv_transpose2d(z, Wk, stride=stride)
     rel = float(jnp.linalg.norm(x_hat - x) / jnp.linalg.norm(x))
     assert rel < 0.2, rel
+
+
+def test_ista_conv2d_restart_reduces_iterations(rng):
+    """Per-sample adaptive restart must reach the same objective in fewer
+    iterations (same lever as linear ista(restart=True))."""
+    N, Cz, Cx, H = 4, 6, 2, 10
+    k = jnp.asarray((rng.standard_normal((Cz, Cx, 3, 3)) * 0.2)
+                    .astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((N, Cx, H, H)).astype(np.float32))
+    z0 = jnp.zeros((N, Cz, H, H), jnp.float32)
+    alpha = 0.05
+
+    def obj(z):
+        xh = conv_transpose2d(z, k, padding=1)
+        return float(0.5 * jnp.sum(jnp.square(xh - x))
+                     + alpha * jnp.sum(jnp.abs(z)))
+
+    z_p, k_p = ista_conv2d(x, z0, k, alpha=alpha, padding=1, maxiter=2000,
+                           tol=1e-8, return_iters=True)
+    z_r, k_r = ista_conv2d(x, z0, k, alpha=alpha, padding=1, maxiter=2000,
+                           tol=1e-8, restart=True, return_iters=True)
+    assert int(k_r) < int(k_p)
+    assert obj(z_r) <= obj(z_p) * (1 + 1e-5)
