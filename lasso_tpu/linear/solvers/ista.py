@@ -88,6 +88,15 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     when shapes are lane-aligned; True forces it (interpreted off-TPU);
     False always uses the plain XLA step.
 
+    ``kernel_precision``: 'f32' (bf16x3 split-float, reference-accurate,
+    default), 'bf16' (native MXU passes, ~2.5x faster, ~2e-6 relative
+    end-to-end objective error), or 'mixed' — precision continuation:
+    the first ~75%% of the iteration budget runs bf16 and the tail runs
+    f32, which contracts the bf16-grade iterate back onto the f32
+    trajectory (FISTA forgets its history geometrically). Near-bf16
+    throughput at f32-grade final accuracy; requires the fused
+    multi-step path.
+
     ``fuse_steps``: number of FISTA iterations fused per kernel invocation
     (the iterates stay in VMEM between sub-steps, amortizing the z/z_prev
     HBM round trips — 2.6x measured at 16 on v5e). 'auto' picks the
@@ -186,8 +195,11 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             jax.debug.print("loss: {l:.4f}", l=loss_v)
         if fused:
             z_next, delta = fused_fista_step(
-                x, z, z_prev, weight, lr, alpha, mom,
-                interpret=interpret, kernel_precision=kernel_precision)
+                x, z, z_prev, weight, lr, alpha, mom, interpret=interpret,
+                # under 'mixed' any single-step remainder belongs to the
+                # f32 refinement tail
+                kernel_precision=("f32" if kernel_precision == "mixed"
+                                  else kernel_precision))
         else:
             y = z + mom * (z - z_prev)
             z_next = step(y)
@@ -237,10 +249,17 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         S = max(1, int(fuse_steps)) if fused else 1
     S = min(S, maxiter)
 
+    if kernel_precision not in ("f32", "bf16", "mixed"):
+        raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
+                         f"'mixed', got {kernel_precision!r}")
+
     if restart:
         if not fast or backtrack or per_sample_tol:
             raise ValueError("restart=True requires fast=True and is "
                              "exclusive with backtrack/per_sample_tol")
+        if kernel_precision == "mixed":
+            raise ValueError("kernel_precision='mixed' is not supported "
+                             "with restart=True; use 'f32' or 'bf16'")
 
         def xla_restart_step(z, z_prev, t_vec):
             # carry convention t_{k-1}, init 0: first momentum coeff is
@@ -301,32 +320,55 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     init = (z0, z0, t0, mom0, jnp.asarray(0), done0)
 
     if S > 1:
-        def cond_multi(state):
-            _, _, _, _, k, done = state
-            return jnp.logical_and(jnp.logical_not(done), k + S <= maxiter)
+        def make_multi(kp, limit):
+            def cond_multi(state):
+                _, _, _, _, k, done = state
+                return jnp.logical_and(jnp.logical_not(done),
+                                       k + S <= limit)
 
-        def body_multi(state):
-            z, z_prev, t, mom, k, _ = state
-            # unroll the (data-independent) t/momentum recurrence for the
-            # S sub-steps of this block
-            mom_list = []
-            t_c, m_c = t, mom
-            for _ in range(S):
-                mom_list.append(m_c)
-                if fast:
-                    t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
-                    m_c = (t_c - 1) / t_n
-                    t_c = t_n
-            z_next, z_pen, delta = fused_fista_multistep(
-                x, z, z_prev, weight, lr, alpha * lr, jnp.stack(mom_list),
-                steps=S, interpret=interpret,
-                kernel_precision=kernel_precision)
-            if axis_name is not None:
-                delta = lax.psum(delta, axis_name)
-            done = delta <= tol_total
-            return (z_next, z_pen, t_c, m_c, k + S, done)
+            def body_multi(state):
+                z, z_prev, t, mom, k, _ = state
+                # unroll the (data-independent) t/momentum recurrence for
+                # the S sub-steps of this block
+                mom_list = []
+                t_c, m_c = t, mom
+                for _ in range(S):
+                    mom_list.append(m_c)
+                    if fast:
+                        t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
+                        m_c = (t_c - 1) / t_n
+                        t_c = t_n
+                z_next, z_pen, delta = fused_fista_multistep(
+                    x, z, z_prev, weight, lr, alpha * lr,
+                    jnp.stack(mom_list), steps=S, interpret=interpret,
+                    kernel_precision=kp)
+                if axis_name is not None:
+                    delta = lax.psum(delta, axis_name)
+                done = delta <= tol_total
+                return (z_next, z_pen, t_c, m_c, k + S, done)
 
-        init = lax.while_loop(cond_multi, body_multi, init)
+            return cond_multi, body_multi
+
+        if kernel_precision == "mixed":
+            # precision continuation: FISTA forgets its history
+            # geometrically, so the bulk of the budget can run in native
+            # bf16 (2x the split-float pass count saved) as long as the
+            # tail runs f32 — the f32 blocks contract the bf16-grade
+            # iterate onto the f32 trajectory. ~25% of the blocks
+            # (minimum 2) are reserved for the f32 tail.
+            n_blocks = maxiter // S
+            tail_blocks = min(n_blocks, max(2, -(-n_blocks // 4)))
+            c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
+            st = lax.while_loop(c1, b1, init)
+            # the bf16 phase's convergence statistic is bf16-grade: drop
+            # it so the f32 tail always runs (never stops earlier than
+            # an all-f32 run would)
+            init = st[:5] + (jnp.asarray(False),)
+            c2, b2 = make_multi("f32", maxiter)
+            init = lax.while_loop(c2, b2, init)
+        else:
+            c, b = make_multi(kernel_precision, maxiter)
+            init = lax.while_loop(c, b, init)
 
     z, _, _, _, k, _ = lax.while_loop(cond, body, init)
     if return_iters:

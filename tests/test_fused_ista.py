@@ -243,3 +243,33 @@ def test_adaptive_restart_validation(rng):
         ista(x, z0, W, 0.1, lr=0.1, fast=False, restart=True)
     with pytest.raises(ValueError):
         ista(x, z0, W, 0.1, lr=0.1, restart=True, backtrack=True)
+
+
+def test_mixed_precision_continuation(rng):
+    """kernel_precision='mixed' (bf16 bulk + f32 tail) must match the
+    all-f32 path's gap-to-optimum at fixed budgets, and validate its
+    exclusions."""
+    x, _, _, W = make_problem(rng, n=16)
+    z0 = jnp.zeros((16, W.shape[1]), jnp.float32)
+    alpha, lr = 0.1, 0.1
+
+    def obj(z):
+        r = z @ W.T - x
+        return float(0.5 * jnp.sum(r * r) + alpha * jnp.sum(jnp.abs(z)))
+
+    z_star = ista(x, z0, W, alpha, lr=lr, maxiter=4000, tol=0.0,
+                  use_pallas=False)
+    f_star = obj(z_star)
+    z_f = ista(x, z0, W, alpha, lr=lr, maxiter=200, tol=0.0,
+               use_pallas=True, fuse_steps=25)
+    z_m = ista(x, z0, W, alpha, lr=lr, maxiter=200, tol=0.0,
+               use_pallas=True, fuse_steps=25, kernel_precision="mixed")
+    gap_f = (obj(z_f) - f_star) / f_star
+    gap_m = (obj(z_m) - f_star) / f_star
+    assert gap_m <= gap_f * 1.05 + 1e-7
+
+    with pytest.raises(ValueError):
+        ista(x, z0, W, alpha, lr=lr, kernel_precision="tf32")
+    with pytest.raises(ValueError):
+        ista(x, z0, W, alpha, lr=lr, kernel_precision="mixed",
+             restart=True)
