@@ -72,7 +72,9 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
         if init is None:
             init = _init_defaults.get(algorithm, "zero")
         elif init == "zero" and algorithm == "iter-ridge":
-            warnings.warn("Iterative Ridge should not be zero-initialized.")
+            warnings.warn("zero init is a poor choice for iter-ridge: "
+                          "coordinates at exactly zero freeze "
+                          "permanently (use the ridge default)")
         z0 = initialize_code(x, weight, alpha, mode=init, key=key)
 
     if algorithm == "cd":
@@ -95,6 +97,8 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
     elif algorithm == "own":
         z = solvers.orthant_wise_newton(weight, x, z0, alpha, **kwargs)
     else:
-        raise ValueError(f"invalid algorithm parameter {algorithm!r}.")
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; expected one of "
+            f"{sorted(_init_defaults)}")
 
     return z

@@ -116,6 +116,6 @@ def config_for(algorithm: str, **overrides) -> SolverConfig:
     try:
         cls = CONFIGS[algorithm]
     except KeyError:
-        raise ValueError(f"invalid algorithm parameter {algorithm!r}.") \
+        raise ValueError(f"unknown algorithm {algorithm!r}") \
             from None
     return cls(**overrides)
