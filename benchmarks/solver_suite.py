@@ -55,6 +55,43 @@ def main():
     W = jnp.asarray(W_np)
     xs = [jnp.asarray(x) for x in xs_np]
 
+    def executed_iters(algo, x, kw):
+        """Iteration count from solver aux (return_iters), not wall-clock
+        inference — every solver exposes it uniformly."""
+        from lasso_tpu.linalg.basic import ridge
+        from lasso_tpu.linear import solvers
+
+        alpha = args.alpha
+        zeros = jnp.zeros((x.shape[0], W.shape[1]), x.dtype)
+        if algo == "ista":
+            _, k = solvers.ista(x, zeros, W, alpha, return_iters=True, **kw)
+        elif algo == "cd":
+            _, k = solvers.coord_descent(x, W, None, alpha,
+                                         return_iters=True, **kw)
+        elif algo == "cd-mod":
+            _, _, k = solvers.coord_descent_mod(x, W, None, alpha,
+                                                return_iters=True, **kw)
+        elif algo == "gpsr":
+            A = lambda v: jnp.matmul(v, W.T)
+            AT = lambda v: jnp.matmul(v, W)
+            _, k = solvers.gpsr_basic(x, A, tau=alpha, AT=AT,
+                                      return_iters=True, **kw)
+        elif algo == "iter-ridge":
+            z0 = ridge(x.T, W, alpha=alpha).T
+            _, k = solvers.iterative_ridge(z0, x, W, alpha,
+                                           return_iters=True, **kw)
+        elif algo == "interior-point":
+            _, _, k = solvers.interior_point(x, W, alpha=alpha,
+                                             return_iters=True, **kw)
+        elif algo == "split-bregman":
+            _, k = solvers.split_bregman(W, x, alpha=alpha, **kw)
+        elif algo == "own":
+            _, k = solvers.orthant_wise_newton(W, x, zeros, alpha,
+                                               return_iters=True, **kw)
+        else:
+            return None
+        return int(k)
+
     for algo, kw in CONFIGS.items():
         try:
             run = jax.jit(partial(sparse_encode, alpha=args.alpha,
@@ -70,7 +107,8 @@ def main():
                 float(z[0, 0])
                 ts.append(time.perf_counter() - t0)
             z_np = np.asarray(z)
-            print(json.dumps({
+            n_it = executed_iters(algo, xs[-1], dict(kw))
+            rec = {
                 "system": f"lasso_tpu[{jax.default_backend()}]",
                 "algorithm": algo,
                 "config": f"{args.n}x({args.d}->{args.k})",
@@ -79,7 +117,12 @@ def main():
                     lasso_objective(xs_np[-1], W_np, z_np, args.alpha)), 3),
                 "kkt_violation": round(float(
                     kkt_violation(xs_np[-1], W_np, z_np, args.alpha)), 5),
-            }), flush=True)
+            }
+            if n_it is not None:
+                rec["iterations"] = n_it
+                if min(ts) > 0:
+                    rec["iters_per_s"] = round(n_it / min(ts), 1)
+            print(json.dumps(rec), flush=True)
         except Exception as e:
             print(json.dumps({"algorithm": algo, "error":
                               str(e).splitlines()[0][:120]}), flush=True)
