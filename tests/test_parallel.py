@@ -198,3 +198,16 @@ def test_data_parallel_encode_with_z0_warm_start(rng, mesh8):
                                    algorithm="ista", maxiter=500, tol=1e-8)
     np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
                                atol=1e-5)
+
+
+def test_data_parallel_encode_ista_restart(rng, mesh8):
+    """restart=True flows through the shard_map route: the per-row
+    t-vector is shard-local and the convergence delta still psums."""
+    x, W = make_problem(rng)
+    z_single = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=400,
+                             tol=1e-8, restart=True)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2,
+                                   algorithm="ista", maxiter=400,
+                                   tol=1e-8, restart=True)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
