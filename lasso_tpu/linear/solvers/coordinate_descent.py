@@ -54,14 +54,21 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
     assert x.shape[1] == input_dim
     tol_k = tol * code_dim
 
+    # S = I - W^T W (symmetric)
+    S = jnp.eye(code_dim, dtype=W.dtype) - jnp.matmul(W.T, W, precision=prec)
+
     if z0 is None:
         z0 = jnp.zeros((batch_size, code_dim), dtype=x.dtype)
+        b0 = jnp.matmul(x, W, precision=prec)
     else:
         assert z0.shape == (batch_size, code_dim)
-
-    # b = x W;  S = I - W^T W (symmetric)
-    b0 = jnp.matmul(x, W, precision=prec)
-    S = jnp.eye(code_dim, dtype=W.dtype) - jnp.matmul(W.T, W, precision=prec)
+        # maintain the CD invariant b = x W + z (I - W^T W): the
+        # reference leaves b = x W for any z0 (open TODO at cd.py:16-18),
+        # which silently treats a warm start as inconsistent state —
+        # with the invariant, z0 at the solution converges immediately
+        # (docs/DIVERGENCES.md #17)
+        b0 = jnp.matmul(x, W, precision=prec) \
+            + jnp.matmul(z0, S, precision=prec)
 
     rows = jnp.arange(batch_size)
 

