@@ -54,8 +54,8 @@ def hessian_2norm(fun, x, niter=10, key=None):
 
 
 def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
-            power_iters=10, tol=1e-5, key=None, lr_refresh=1, verbose=0,
-            return_iters=False):
+            power_iters=10, tol=1e-5, key=None, lr_refresh=1,
+            restart=False, verbose=0, return_iters=False):
     """Nonlinear (F)ISTA (reference nl/ista.py:55-128).
 
     decoder: traceable ``z -> x_hat`` with output shape matching ``x``.
@@ -71,6 +71,11 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
     FISTA trajectory, so a modest refresh interval (4-8) buys back most
     of the fixed-lr throughput at near-identical trajectories (measured
     ~2x on the BASELINE #5 MLP decoder; docs/DIVERGENCES.md).
+
+    ``restart=True``: per-sample adaptive momentum restart (O'Donoghue &
+    Candes), the same lever as the linear solver's — each sample carries
+    its own t-sequence and resets it when its gradient-mapping test
+    fires. Requires ``fast=True``; off by default for reference parity.
     """
     verbose = int(verbose)
     if not (lr == "auto" or isinstance(lr, (int, float))):
@@ -130,6 +135,43 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
         jax.debug.print("initial loss: {l:.4f}", l=lasso_loss(z0))
     lr0 = (jnp.ones((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
            if auto_lr else jnp.asarray(lr, x.dtype))
+
+    if restart:
+        if not fast:
+            raise ValueError("restart=True requires fast=True")
+        feat_axes = tuple(range(1, z0.ndim))
+
+        def body_r(state):
+            z, z_prev, lr_c, t_vec, k, _ = state
+            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
+            y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
+            if auto_lr:
+                if lr_refresh == 1:
+                    lr_k = compute_lr(y)
+                else:
+                    lr_k = lax.cond(k % lr_refresh == 0, compute_lr,
+                                    lambda _: lr_c, y)
+            else:
+                lr_k = lr_c
+            z_new = step(y, lr_k)
+            rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
+                           keepdims=True)
+            t_new = jnp.where(rdot > 0, 1.0, t_next)
+            done = jnp.sum(jnp.abs(z_new - z)) <= tol_total
+            if verbose > 1:
+                jax.debug.print("iter {k} - loss: {l:.4f}",
+                                k=k + 1, l=lasso_loss(z_new))
+            return (z_new, z, lr_k, t_new, k + 1, done)
+
+        t0 = jnp.zeros((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
+        init = (z0, z0, lr0, t0, jnp.asarray(0), jnp.asarray(False))
+        z, _, _, _, k, _ = lax.while_loop(cond, body_r, init)
+        if verbose:
+            jax.debug.print("final loss: {l:.4f}", l=lasso_loss(z))
+        if return_iters:
+            return z, k
+        return z
+
     init = (z0, z0, lr0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
             jnp.asarray(False))
     z, _, _, _, k, _ = lax.while_loop(cond, body, init)

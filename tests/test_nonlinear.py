@@ -174,3 +174,29 @@ def test_ista_nl_lr_refresh(rng):
         return float(0.5 * jnp.sum(r * r) + 0.1 * jnp.sum(jnp.abs(z)))
 
     assert abs(obj(z_lazy) - obj(z_every)) <= 1e-4 * max(1.0, obj(z_every))
+
+
+def test_ista_nl_restart(rng):
+    """Per-sample adaptive restart reaches the same objective in fewer
+    iterations on the nonlinear path too."""
+    import jax.numpy as jnp
+    from lasso_tpu.nonlinear import ista_nl
+
+    x = jnp.asarray(rng.standard_normal((8, 12)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((20, 12)) / np.sqrt(20)).astype(np.float32))
+    z0 = jnp.zeros((8, 20), jnp.float32)
+    dec = lambda z: jnp.tanh(z) @ W
+
+    def obj(z):
+        r = dec(z) - x
+        return float(0.5 * jnp.sum(r * r) + 0.05 * jnp.sum(jnp.abs(z)))
+
+    z_p, k_p = ista_nl(x, z0, dec, alpha=0.05, lr=0.2, maxiter=2000,
+                       tol=1e-7, return_iters=True)
+    z_r, k_r = ista_nl(x, z0, dec, alpha=0.05, lr=0.2, maxiter=2000,
+                       tol=1e-7, restart=True, return_iters=True)
+    assert int(k_r) <= int(k_p)
+    assert obj(z_r) <= obj(z_p) * (1 + 1e-5)
+    with pytest.raises(ValueError):
+        ista_nl(x, z0, dec, alpha=0.05, fast=False, restart=True)
