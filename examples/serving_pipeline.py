@@ -68,6 +68,23 @@ def main():
     print(f"decode check: rel reconstruction err {err:.3f} "
           f"(alpha-limited, expected ~0.2-0.5)")
 
+    # --- 4. gap-safe screening for sparse micro-batches ---
+    # at serving alphas the union of active atoms across a small request
+    # batch can sit well under K; screened_encode certifies and drops the
+    # rest, solving at a bucket-padded reduced K (falls back to full K
+    # automatically when supports are dense)
+    from lasso_tpu.linear import screened_encode
+    x_micro = jnp.asarray(
+        (np.asarray(z_req[:64]) @ np.asarray(W).T
+         + 0.05 * rng.standard_normal((64, D))).astype(np.float32))
+    # learned atoms correlate with every residual, so the safe sphere
+    # only excludes atoms at strongly-sparse alphas (here ~90%+)
+    z_scr, info = screened_encode(x_micro, W, alpha=2.0, warm_iters=100,
+                                  bucket=64, maxiter=300, tol=1e-7)
+    print(f"screened micro-batch: kept {info['kept']}/{info['K']} atoms "
+          f"(screened={info['screened']}, "
+          f"gap_max {info['gap_max']:.2e})")
+
 
 if __name__ == "__main__":
     main()

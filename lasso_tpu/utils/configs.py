@@ -42,6 +42,8 @@ class IstaConfig(SolverConfig):
     eta_backtrack: float = 1.5
     use_pallas: Union[str, bool] = "auto"
     kernel_precision: str = "f32"
+    fuse_steps: Union[str, int] = "auto"
+    restart: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +82,7 @@ class InteriorPointConfig(SolverConfig):
     maxiter: int = 20
     barrier_init: float = 0.1
     tol: float = 1e-2
+    kkt_solver: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
