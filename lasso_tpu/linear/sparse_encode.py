@@ -54,17 +54,23 @@ def initialize_code(x, weight, alpha, mode, key=None):
 
 
 def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
-                  key=None, **kwargs):
+                  key=None, return_iters=False, **kwargs):
     """Batched sparse coding: ``min_z 0.5||z W^T - x||^2 + alpha ||z||_1``.
 
     Dispatch table mirrors reference sparse_encode.py:54-71, plus the
     ``cd-mod`` entry for the duality-gap coordinate-descent variant that the
     reference ships but does not dispatch.
+
+    ``return_iters=True`` returns ``(z, n_iter)`` for every algorithm
+    (the executed iteration count from the solver's aux — the uniform
+    observability surface the per-solver functions expose).
     """
     from lasso_tpu.linear import solvers
 
     n_samples = x.shape[0]
     n_components = weight.shape[1]
+    ri = {"return_iters": True} if return_iters else {}
+    n_iter = None
 
     if z0 is not None:
         assert z0.shape == (n_samples, n_components)
@@ -78,27 +84,45 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
         z0 = initialize_code(x, weight, alpha, mode=init, key=key)
 
     if algorithm == "cd":
-        z = solvers.coord_descent(x, weight, z0, alpha, **kwargs)
+        out = solvers.coord_descent(x, weight, z0, alpha, **ri, **kwargs)
+        z, n_iter = out if return_iters else (out, None)
     elif algorithm == "cd-mod":
-        z, _ = solvers.coord_descent_mod(x, weight, z0, alpha, **kwargs)
+        out = solvers.coord_descent_mod(x, weight, z0, alpha, **ri,
+                                        **kwargs)
+        if return_iters:
+            z, _, n_iter = out
+        else:
+            z, _ = out
     elif algorithm == "gpsr":
         prec = get_precision(kwargs.pop("precision", None))
         A = lambda v: jnp.matmul(v, weight.T, precision=prec)
         AT = lambda v: jnp.matmul(v, weight, precision=prec)
-        z = solvers.gpsr_basic(x, A, tau=alpha, AT=AT, x0=z0, **kwargs)
+        out = solvers.gpsr_basic(x, A, tau=alpha, AT=AT, x0=z0, **ri,
+                                 **kwargs)
+        z, n_iter = out if return_iters else (out, None)
     elif algorithm == "iter-ridge":
-        z = solvers.iterative_ridge(z0, x, weight, alpha, **kwargs)
+        out = solvers.iterative_ridge(z0, x, weight, alpha, **ri, **kwargs)
+        z, n_iter = out if return_iters else (out, None)
     elif algorithm == "ista":
-        z = solvers.ista(x, z0, weight, alpha, **kwargs)
+        out = solvers.ista(x, z0, weight, alpha, **ri, **kwargs)
+        z, n_iter = out if return_iters else (out, None)
     elif algorithm == "interior-point":
-        z, _ = solvers.interior_point(x, weight, z0, alpha, **kwargs)
+        out = solvers.interior_point(x, weight, z0, alpha, **ri, **kwargs)
+        if return_iters:
+            z, _, n_iter = out
+        else:
+            z, _ = out
     elif algorithm == "split-bregman":
-        z, _ = solvers.split_bregman(weight, x, z0, alpha, **kwargs)
+        z, n_iter = solvers.split_bregman(weight, x, z0, alpha, **kwargs)
     elif algorithm == "own":
-        z = solvers.orthant_wise_newton(weight, x, z0, alpha, **kwargs)
+        out = solvers.orthant_wise_newton(weight, x, z0, alpha, **ri,
+                                          **kwargs)
+        z, n_iter = out if return_iters else (out, None)
     else:
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected one of "
             f"{sorted(_init_defaults)}")
 
+    if return_iters:
+        return z, n_iter
     return z

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from lasso_tpu.linalg.conjgrad import batch_cg
+from lasso_tpu.linear import sparse_encode
 from lasso_tpu.linear.solvers import (coord_descent, coord_descent_mod,
                                       gpsr_basic, interior_point,
                                       iterative_ridge, ista,
@@ -141,3 +142,15 @@ def test_nonlinear_verbose_and_iters(problem, capfd):
     z, k = _flush(split_bregman_nl(resid, z0, alpha=0.2, max_iter=3,
                                    solver="cg", return_iters=True))
     assert 1 <= int(k) <= 3
+
+
+def test_sparse_encode_return_iters_all_algorithms(problem):
+    """sparse_encode(return_iters=True) returns (z, n_iter) uniformly."""
+    x, W, _ = problem
+    for algo in ("ista", "cd", "cd-mod", "gpsr", "iter-ridge",
+                 "interior-point", "split-bregman", "own"):
+        kw = {"max_iter": 20} if algo == "cd-mod" else {"maxiter": 20}
+        z, k = sparse_encode(x, W, 0.2, algorithm=algo,
+                             return_iters=True, **kw)
+        assert z.shape == (x.shape[0], W.shape[1]), algo
+        assert 1 <= int(k) <= 20, (algo, int(k))
