@@ -24,6 +24,8 @@ batches whose supports cover every atom.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -83,28 +85,22 @@ def screened_encode(x, weight, alpha, warm_iters=10, bucket=128,
     Host-boundary utility: the keep-mask crosses to the host (one small
     sync), so use this from serving/chunked pipelines, not inside jit.
     """
-    from functools import partial
-
-    from lasso_tpu.linear.sparse_encode import sparse_encode
-
     N, D = x.shape
     K = weight.shape[1]
-    # jit every device stage: eager dispatch is fatal on high-latency
-    # links (e.g. ~25 ms/op over a TPU tunnel), and the compiled stages
-    # cache across chunks of the same shape
-    warm_and_screen = jax.jit(lambda x, W: (lambda zw: (zw,)
-                              + screen_atoms(x, W, alpha, zw))(
-        sparse_encode(x, W, alpha, algorithm="ista",
-                      maxiter=warm_iters, tol=0.0)))
-    z_warm, keep_ps, gap = warm_and_screen(x, weight)
+    # all device stages come from lru-cached jitted builders: a fresh
+    # closure per call would defeat jax.jit's cache and recompile every
+    # serving request; eager dispatch is equally fatal on high-latency
+    # links (~25 ms/op over a TPU tunnel)
+    z_warm, keep_ps, gap = _warm_and_screen(float(alpha),
+                                            int(warm_iters))(x, weight)
     keep = np.asarray(jnp.any(keep_ps, axis=0))                # [K] union
     kept = int(keep.sum())
     info = {"kept": kept, "K": K, "gap_max": float(jnp.max(gap))}
 
+    kw_key = tuple(sorted(kwargs.items()))
     if kept > min_shrink * K:
-        z = jax.jit(partial(sparse_encode, alpha=alpha,
-                            algorithm=algorithm, **kwargs))(
-            x, weight, z0=z_warm)
+        z = _full_solve(float(alpha), algorithm, kw_key)(x, weight,
+                                                         z_warm)
         info["screened"] = False
         return z, info
 
@@ -118,14 +114,51 @@ def screened_encode(x, weight, alpha, warm_iters=10, bucket=128,
         idx = np.concatenate([idx, unkept])
     idx_j = jnp.asarray(idx)
 
+    z = _reduced_solve(float(alpha), algorithm, kw_key)(
+        x, weight, z_warm, idx_j)
+    info["screened"] = True
+    return z, info
+
+
+@functools.lru_cache(maxsize=64)
+def _warm_and_screen(alpha, warm_iters):
+    from lasso_tpu.linear.sparse_encode import sparse_encode
+
     @jax.jit
-    def reduced_solve(x, weight, z_warm, idx_j):
+    def fn(x, weight):
+        zw = sparse_encode(x, weight, alpha, algorithm="ista",
+                           maxiter=warm_iters, tol=0.0)
+        keep, gap = screen_atoms(x, weight, alpha, zw)
+        return zw, keep, gap
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _full_solve(alpha, algorithm, kw_key):
+    from lasso_tpu.linear.sparse_encode import sparse_encode
+    kwargs = dict(kw_key)
+
+    @jax.jit
+    def fn(x, weight, z_warm):
+        return sparse_encode(x, weight, alpha, algorithm=algorithm,
+                             z0=z_warm, **kwargs)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _reduced_solve(alpha, algorithm, kw_key):
+    from lasso_tpu.linear.sparse_encode import sparse_encode
+    kwargs = dict(kw_key)
+
+    @jax.jit
+    def fn(x, weight, z_warm, idx_j):
         W_s = jnp.take(weight, idx_j, axis=1)                  # [D, K']
         z0_s = jnp.take(z_warm, idx_j, axis=1)                 # [N, K']
         z_s = sparse_encode(x, W_s, alpha, algorithm=algorithm, z0=z0_s,
                             **kwargs)
-        return jnp.zeros((N, K), x.dtype).at[:, idx_j].set(z_s)
+        return (jnp.zeros((x.shape[0], weight.shape[1]), x.dtype)
+                .at[:, idx_j].set(z_s))
 
-    z = reduced_solve(x, weight, z_warm, idx_j)
-    info["screened"] = True
-    return z, info
+    return fn
