@@ -49,6 +49,14 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     global convergence reduction inside the solver loop (for the solvers
     that have one).
     """
+    if kwargs.get("return_iters"):
+        raise ValueError(
+            "return_iters is not supported under data_parallel_encode: "
+            "solvers with per-sample stopping (cd, cd-mod) exit their "
+            "loops at different counts per shard, so there is no single "
+            "global iteration count to return. Call the solver directly "
+            "inside your own shard_map if you need per-shard counts.")
+
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
     z_sh = code_sharding(mesh, shard_atoms)
