@@ -21,13 +21,16 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 maxiter=10, lr="auto", tol=1e-5, restart=False,
-                return_iters=False):
+                verbose=False, return_iters=False):
     """Conv FISTA (reference conv2d/ista.py:7-48).
 
     ``restart=True``: per-sample adaptive momentum restart (O'Donoghue &
     Candes), same lever as :func:`lasso_tpu.linear.solvers.ista` — each
     sample carries its own t-sequence and resets it when its
     gradient-mapping test fires. Off by default for reference parity.
+
+    ``verbose`` prints the lasso loss per iteration (reference
+    conv2d/ista.py:36-37).
     """
     if isinstance(lr, str):
         if lr != "auto":
@@ -52,6 +55,13 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     def step(zk):
         return soft_threshold(zk - lr * rss_grad(zk), alpha * lr)
 
+    def print_loss(zk):
+        import jax
+        x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
+        loss = (0.5 * jnp.sum(jnp.square(x_hat - x))
+                + alpha * jnp.sum(jnp.abs(zk)))
+        jax.debug.print("loss: {l:.4f}", l=loss)
+
     def cond(state):
         _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
@@ -63,6 +73,8 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
 
         def body_r(state):
             z, z_prev, t_vec, k, _ = state
+            if verbose:
+                print_loss(z)
             t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
             y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
             z_new = step(y)
@@ -81,6 +93,8 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
 
     def body(state):
         z, y, t, k, _ = state
+        if verbose:
+            print_loss(z)
         z_next = step(y) if fast else step(z)
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
