@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 
 def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
-                   out=None, output="dense", csr_eps=0.0, **kwargs):
+                   out=None, output="dense", csr_eps=0.0, screen=False,
+                   screen_kwargs=None, **kwargs):
     """Encode an arbitrarily large batch in fixed-size chunks.
 
     x: [N, D] (numpy or jax array, host-resident is fine),
@@ -44,7 +45,14 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     The final partial chunk is zero-padded to ``chunk_size`` so every
     chunk reuses the same compiled executable (padding rows solve a
     zero problem and are discarded).
+
+    ``screen=True`` routes each chunk through
+    :func:`lasso_tpu.linear.screened_encode` (gap-safe certified
+    dictionary shrinking with automatic full-K fallback; pays off at
+    strongly-sparse alphas where a chunk's union support sits well
+    under K). ``screen_kwargs`` forwards warm_iters/bucket/min_shrink.
     """
+    from lasso_tpu.linear.screening import screened_encode
     from lasso_tpu.linear.sparse_encode import sparse_encode
 
     if output not in ("dense", "csr"):
@@ -72,8 +80,12 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
         return out
     chunk_size = min(chunk_size, N)
 
-    run = jax.jit(partial(sparse_encode, alpha=alpha, algorithm=algorithm,
-                          **kwargs))
+    if screen:
+        run = partial(screened_encode, alpha=alpha, algorithm=algorithm,
+                      **(screen_kwargs or {}), **kwargs)
+    else:
+        run = jax.jit(partial(sparse_encode, alpha=alpha,
+                              algorithm=algorithm, **kwargs))
 
     def dispatch(start):
         stop = min(start + chunk_size, N)

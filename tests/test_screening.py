@@ -70,3 +70,18 @@ def test_screened_encode_fallback_at_low_alpha(rng):
         return float(0.5 * jnp.sum(r * r) + 0.01 * jnp.sum(jnp.abs(z)))
 
     np.testing.assert_allclose(obj(z_scr), obj(z_full), rtol=1e-5)
+
+
+def test_chunked_encode_with_screening(rng):
+    """chunked_encode(screen=True) routes chunks through screened_encode
+    and must match the unscreened result."""
+    from lasso_tpu.utils import chunked_encode
+    x, W = make_problem(rng, n=40)
+    alpha = 2.0
+    z_plain = chunked_encode(np.asarray(x), np.asarray(W), alpha=alpha,
+                             chunk_size=16, maxiter=2000, tol=1e-9)
+    z_scr = chunked_encode(np.asarray(x), np.asarray(W), alpha=alpha,
+                           chunk_size=16, maxiter=2000, tol=1e-9,
+                           screen=True,
+                           screen_kwargs=dict(warm_iters=25, bucket=16))
+    np.testing.assert_allclose(z_scr, z_plain, atol=1e-4)
