@@ -134,7 +134,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     cuts iterations-to-small-gap severalfold on sparse problems (plain
     FISTA oscillates near the optimum). Off by default for reference
     parity (the reference has no restart); requires ``fast=True`` and is
-    exclusive with ``backtrack``/``per_sample_tol``.
+    exclusive with ``backtrack``/``per_sample_tol``. Composes with
+    ``kernel_precision='mixed'`` (the per-row t-vector carries across
+    the bf16 -> f32 phase switch).
 
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
@@ -257,9 +259,6 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         if not fast or backtrack or per_sample_tol:
             raise ValueError("restart=True requires fast=True and is "
                              "exclusive with backtrack/per_sample_tol")
-        if kernel_precision == "mixed":
-            raise ValueError("kernel_precision='mixed' is not supported "
-                             "with restart=True; use 'f32' or 'bf16'")
 
         def xla_restart_step(z, z_prev, t_vec):
             # carry convention t_{k-1}, init 0: first momentum coeff is
@@ -291,22 +290,38 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             lr_s = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), (S,))
             th_s = lr_s * jnp.asarray(alpha, jnp.float32)
 
-            def cond_rm(st):
-                _, _, _, k, done = st
-                return jnp.logical_and(jnp.logical_not(done),
-                                       k + S <= maxiter)
+            def make_rm(kp, limit):
+                def cond_rm(st):
+                    _, _, _, k, done = st
+                    return jnp.logical_and(jnp.logical_not(done),
+                                           k + S <= limit)
 
-            def body_rm(st):
-                z, z_prev, t_vec, k, _ = st
-                z_new, z_pen, t_new, delta = fused_fista_multistep(
-                    x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
-                    steps=S, interpret=interpret,
-                    kernel_precision=kernel_precision, t_vec=t_vec)
-                if axis_name is not None:
-                    delta = lax.psum(delta, axis_name)
-                return (z_new, z_pen, t_new, k + S, delta <= tol_total)
+                def body_rm(st):
+                    z, z_prev, t_vec, k, _ = st
+                    z_new, z_pen, t_new, delta = fused_fista_multistep(
+                        x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
+                        steps=S, interpret=interpret,
+                        kernel_precision=kp, t_vec=t_vec)
+                    if axis_name is not None:
+                        delta = lax.psum(delta, axis_name)
+                    return (z_new, z_pen, t_new, k + S,
+                            delta <= tol_total)
 
-            state = lax.while_loop(cond_rm, body_rm, state)
+                return cond_rm, body_rm
+
+            if kernel_precision == "mixed":
+                # precision continuation composes with restart: the
+                # per-row t-vector carries across the phase switch
+                n_blocks = maxiter // S
+                tail_blocks = min(n_blocks, max(2, -(-n_blocks // 4)))
+                c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
+                state = lax.while_loop(c1, b1, state)
+                state = state[:4] + (jnp.asarray(False),)
+                c2, b2 = make_rm("f32", maxiter)
+                state = lax.while_loop(c2, b2, state)
+            else:
+                c, b = make_rm(kernel_precision, maxiter)
+                state = lax.while_loop(c, b, state)
 
         z, _, _, k, _ = lax.while_loop(cond_r, body_r, state)
         if return_iters:

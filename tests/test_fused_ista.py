@@ -270,6 +270,14 @@ def test_mixed_precision_continuation(rng):
 
     with pytest.raises(ValueError):
         ista(x, z0, W, alpha, lr=lr, kernel_precision="tf32")
-    with pytest.raises(ValueError):
-        ista(x, z0, W, alpha, lr=lr, kernel_precision="mixed",
-             restart=True)
+
+    # mixed composes with restart (t-vector carried across the phase
+    # switch); gap-to-optimum must track the all-f32 restart run
+    z_rf = ista(x, z0, W, alpha, lr=lr, maxiter=200, tol=0.0,
+                use_pallas=True, fuse_steps=25, restart=True)
+    z_rm = ista(x, z0, W, alpha, lr=lr, maxiter=200, tol=0.0,
+                use_pallas=True, fuse_steps=25, restart=True,
+                kernel_precision="mixed")
+    gap_rf = (obj(z_rf) - f_star) / f_star
+    gap_rm = (obj(z_rm) - f_star) / f_star
+    assert gap_rm <= gap_rf * 1.1 + 1e-7
