@@ -41,7 +41,13 @@ def main():
                 ("constrained-sequential",
                  dict(constrained=True, dict_update="sequential")),
                 ("constrained-block",
-                 dict(constrained=True, dict_update="block"))]
+                 dict(constrained=True, dict_update="block")),
+                # E-step levers: precision continuation / restart flow
+                # through solver kwargs into the FISTA encoder
+                ("ridge+mixed",
+                 dict(constrained=False, kernel_precision="mixed")),
+                ("ridge+restart",
+                 dict(constrained=False, restart=True))]
     for name, kw in variants:
         run = jax.jit(lambda X, kw=kw: dict_learning(
             X, n_components=args.k, alpha=args.alpha,

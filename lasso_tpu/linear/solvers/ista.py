@@ -71,6 +71,16 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
     return z_next, lr
 
 
+
+def _mixed_tail_blocks(n_blocks):
+    """f32-tail length for the 'mixed' precision schedule: ~25% of the
+    blocks, at least 1, always leaving at least 1 bf16 block. A single
+    block cannot be split: it runs f32 (tail = whole budget)."""
+    if n_blocks <= 1:
+        return n_blocks
+    return min(n_blocks - 1, max(1, -(-n_blocks // 4)))
+
+
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
@@ -313,7 +323,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 # precision continuation composes with restart: the
                 # per-row t-vector carries across the phase switch
                 n_blocks = maxiter // S
-                tail_blocks = min(n_blocks, max(2, -(-n_blocks // 4)))
+                tail_blocks = _mixed_tail_blocks(n_blocks)
                 c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
                 state = lax.while_loop(c1, b1, state)
                 state = state[:4] + (jnp.asarray(False),)
@@ -372,7 +382,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # iterate onto the f32 trajectory. ~25% of the blocks
             # (minimum 2) are reserved for the f32 tail.
             n_blocks = maxiter // S
-            tail_blocks = min(n_blocks, max(2, -(-n_blocks // 4)))
+            tail_blocks = _mixed_tail_blocks(n_blocks)
             c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
             st = lax.while_loop(c1, b1, init)
             # the bf16 phase's convergence statistic is bf16-grade: drop
