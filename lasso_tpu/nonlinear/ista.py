@@ -29,9 +29,16 @@ def _normalize(v, axes):
     return v / (n + 1e-8)
 
 
-def hessian_2norm(fun, x, niter=10, key=None):
+def hessian_2norm(fun, x, niter=10, key=None, u0=None,
+                  return_vector=False):
     """Per-sample Hessian 2-norm of a scalar ``fun`` by power iteration
-    (reference nl/ista.py:26-52). ``x``: [B, ...]; returns [B]."""
+    (reference nl/ista.py:26-52). ``x``: [B, ...]; returns [B].
+
+    ``u0`` warm-starts the iteration (the top eigenvector drifts slowly
+    along a FISTA trajectory, so a carried vector needs far fewer
+    iterations than a random restart); ``return_vector=True`` also
+    returns the final iterate for the next warm start.
+    """
     assert x.ndim >= 2
     feature_axes = tuple(range(1, x.ndim))
     if key is None:
@@ -40,7 +47,9 @@ def hessian_2norm(fun, x, niter=10, key=None):
     grad_fun = jax.grad(fun)
     hvp = lambda v: jax.jvp(grad_fun, (x,), (v,))[1]
 
-    u0 = _normalize(jax.random.normal(key, x.shape, x.dtype), feature_axes)
+    if u0 is None:
+        u0 = _normalize(jax.random.normal(key, x.shape, x.dtype),
+                        feature_axes)
 
     def body(_, uv):
         u, _ = uv
@@ -50,6 +59,8 @@ def hessian_2norm(fun, x, niter=10, key=None):
 
     u, v = lax.fori_loop(0, niter, body, (u0, u0))
     sigma = jnp.sum(v * hvp(u), axis=feature_axes)
+    if return_vector:
+        return sigma, u
     return sigma
 
 
@@ -94,30 +105,48 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
     def lasso_loss(zk):
         return rss_loss(zk) + alpha * jnp.sum(jnp.abs(zk))
 
+    feat_axes_all = tuple(range(1, z0.ndim))
+
     def compute_lr(zk):
         L = hessian_2norm(rss_loss, zk, niter=power_iters, key=key)
         t = 0.98 / L
         return t.reshape(t.shape + (1,) * (zk.ndim - 1))   # [B, 1, ...]
+
+    def compute_lr_warm(zk, u0):
+        # lr_refresh > 1 is already a documented divergence zone
+        # (DIVERGENCES #15): warm-start the power iteration from the
+        # previous refresh's eigenvector — the top Hessian direction
+        # drifts slowly along the trajectory, so a carried vector
+        # converges in far fewer iterations than a random restart
+        L, u = hessian_2norm(rss_loss, zk, niter=power_iters, key=key,
+                             u0=u0, return_vector=True)
+        t = 0.98 / L
+        return t.reshape(t.shape + (1,) * (zk.ndim - 1)), u
+
+    def refresh_or_keep(k, at, lr_c, u_c):
+        if lr_refresh == 1:
+            return compute_lr(at), u_c         # parity cadence
+        return lax.cond(
+            k % lr_refresh == 0,
+            lambda args: compute_lr_warm(args[0], args[1]),
+            lambda args: (lr_c, args[1]),
+            (at, u_c))
 
     def step(zk, lr_k):
         g = rss_grad(zk)
         return soft_threshold(zk - lr_k * g, alpha * lr_k)
 
     def cond(state):
-        _, _, _, _, k, done = state
+        _, _, _, _, _, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < maxiter)
 
     def body(state):
-        z, y, lr_c, t, k, _ = state
+        z, y, lr_c, u_c, t, k, _ = state
         at = y if fast else z
         if auto_lr:
-            if lr_refresh == 1:
-                lr_k = compute_lr(at)
-            else:
-                lr_k = lax.cond(k % lr_refresh == 0, compute_lr,
-                                lambda _: lr_c, at)
+            lr_k, u_new = refresh_or_keep(k, at, lr_c, u_c)
         else:
-            lr_k = lr_c
+            lr_k, u_new = lr_c, u_c
         z_next = step(at, lr_k)
         done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
         if fast:
@@ -129,12 +158,17 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
             # per-iteration loss (reference nl/ista.py:117-118)
             jax.debug.print("iter {k} - loss: {l:.4f}",
                             k=k + 1, l=lasso_loss(z_next))
-        return (z_next, y_next, lr_k, t_next, k + 1, done)
+        return (z_next, y_next, lr_k, u_new, t_next, k + 1, done)
 
     if verbose:
         jax.debug.print("initial loss: {l:.4f}", l=lasso_loss(z0))
     lr0 = (jnp.ones((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
            if auto_lr else jnp.asarray(lr, x.dtype))
+    if auto_lr and lr_refresh > 1:
+        u0_carry = _normalize(
+            jax.random.normal(key, z0.shape, z0.dtype), feat_axes_all)
+    else:
+        u0_carry = jnp.zeros((1,), x.dtype)    # structural placeholder
 
     if restart:
         if not fast:
@@ -142,17 +176,13 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
         feat_axes = tuple(range(1, z0.ndim))
 
         def body_r(state):
-            z, z_prev, lr_c, t_vec, k, _ = state
+            z, z_prev, lr_c, u_c, t_vec, k, _ = state
             t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
             y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
             if auto_lr:
-                if lr_refresh == 1:
-                    lr_k = compute_lr(y)
-                else:
-                    lr_k = lax.cond(k % lr_refresh == 0, compute_lr,
-                                    lambda _: lr_c, y)
+                lr_k, u_new = refresh_or_keep(k, y, lr_c, u_c)
             else:
-                lr_k = lr_c
+                lr_k, u_new = lr_c, u_c
             z_new = step(y, lr_k)
             rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
                            keepdims=True)
@@ -161,20 +191,21 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
             if verbose > 1:
                 jax.debug.print("iter {k} - loss: {l:.4f}",
                                 k=k + 1, l=lasso_loss(z_new))
-            return (z_new, z, lr_k, t_new, k + 1, done)
+            return (z_new, z, lr_k, u_new, t_new, k + 1, done)
 
         t0 = jnp.zeros((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
-        init = (z0, z0, lr0, t0, jnp.asarray(0), jnp.asarray(False))
-        z, _, _, _, k, _ = lax.while_loop(cond, body_r, init)
+        init = (z0, z0, lr0, u0_carry, t0, jnp.asarray(0),
+                jnp.asarray(False))
+        z, _, _, _, _, k, _ = lax.while_loop(cond, body_r, init)
         if verbose:
             jax.debug.print("final loss: {l:.4f}", l=lasso_loss(z))
         if return_iters:
             return z, k
         return z
 
-    init = (z0, z0, lr0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
-            jnp.asarray(False))
-    z, _, _, _, k, _ = lax.while_loop(cond, body, init)
+    init = (z0, z0, lr0, u0_carry, jnp.asarray(1.0, x.dtype),
+            jnp.asarray(0), jnp.asarray(False))
+    z, _, _, _, _, k, _ = lax.while_loop(cond, body, init)
     if verbose:
         jax.debug.print("final loss: {l:.4f}", l=lasso_loss(z))
     if return_iters:
