@@ -107,8 +107,9 @@ def screened_encode(x, weight, alpha, warm_iters=10, bucket=128,
     # bucket-pad the kept set so recompiles are bounded to K/bucket sizes
     k_pad = min(K, max(bucket, -(-kept // bucket) * bucket))
     idx = np.flatnonzero(keep)
-    # pad with arbitrary distinct unkept columns; their warm z0 is zero
-    # and their optimal coefficient is certified zero, so they stay inert
+    # pad with arbitrary distinct unkept columns: they enter with their
+    # (generally nonzero) warm values and converge to their certified-zero
+    # optima like any other reduced-problem coordinate
     if len(idx) < k_pad:
         unkept = np.flatnonzero(~keep)[: k_pad - len(idx)]
         idx = np.concatenate([idx, unkept])

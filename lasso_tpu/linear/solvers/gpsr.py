@@ -276,6 +276,16 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
     u = jnp.maximum(x, 0.0)
     v = jnp.maximum(-x, 0.0)
 
+    def _final_summary(x_cur, label=""):
+        # reference gpsr.py:325-333 / 354-362: after the continuation
+        # ladder (and again after debias) print the final objective and
+        # support size
+        r = y - A(x_cur)
+        f = 0.5 * _dot(r, r) + tau * jnp.sum(jnp.abs(x_cur))
+        jax.debug.print(
+            label + "Final obj = {f:.6e}, nz = {n}",
+            f=f, n=jnp.sum(x_cur != 0))
+
     n_iter_total = 0
     for i in range(n_steps):
         tau_i = tau * cont_factors[i]
@@ -298,6 +308,9 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
                 maxiter, miniter, tol_i, crit_i, verbose=verbose)
         n_iter_total = n_iter_total + n_it
 
+    if verbose and not per_sample:
+        _final_summary(x)
+
     if debias:
         if per_sample:
             # per-sample masked-CG debias: each sample gets its own
@@ -311,6 +324,8 @@ def gpsr_basic(y, A, tau, AT=None, x0=None, stop_criterion=3, tol=1e-2,
         else:
             x = _debias(x, y, tau, A, AT, tol=tol_debias,
                         miniter=miniter_debias, maxiter=maxiter_debias)
+            if verbose:
+                _final_summary(x, label="debiased: ")
 
     if per_sample:
         xf = jnp.where(trivial[:, None], jnp.zeros_like(x), x)

@@ -287,6 +287,13 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
         def body_r(state):
             z, z_prev, t_vec, k, _ = state
+            if verbose:
+                # per-iteration loss print (reference ista.py:80-81); the
+                # restart path mirrors the non-restart body's verbose
+                resid_v = jnp.matmul(z, weight.T, precision=prec) - x
+                loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
+                          + alpha * jnp.sum(jnp.abs(z))) / x.shape[0]
+                jax.debug.print("loss: {l:.4f}", l=loss_v)
             z_new, z_pen, t_new = xla_restart_step(z, z_prev, t_vec)
             delta = jnp.sum(jnp.abs(z_new - z))
             if axis_name is not None:
@@ -380,7 +387,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # bf16 (2x the split-float pass count saved) as long as the
             # tail runs f32 — the f32 blocks contract the bf16-grade
             # iterate onto the f32 trajectory. ~25% of the blocks
-            # (minimum 2) are reserved for the f32 tail.
+            # (minimum 1) are reserved for the f32 tail.
             n_blocks = maxiter // S
             tail_blocks = _mixed_tail_blocks(n_blocks)
             c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)

@@ -94,12 +94,18 @@ def _lstsq_cg(fun, x, d, b, max_iter, mu, lambd, lr, xtol, cg_kwargs,
 
 def split_bregman_nl(fun, x0, lr=1.0, alpha=1.0, lambd=1.0, tau=1.0,
                      max_iter=None, inner_iter=5, lstsq_iter=5, xtol=1e-5,
-                     solver="cg", cg_kwargs=None, return_iters=False):
+                     disp=0, solver="cg", cg_kwargs=None,
+                     return_iters=False):
     """Nonlinear split Bregman (reference nl/sb.py:73-168).
 
     fun: traceable residual function ``x -> f(x)`` (vector output);
     minimizes ``0.5 ||f(x)||^2 + alpha ||x||_1`` on the flattened x.
+
+    ``disp`` mirrors the reference's verbosity levels (nl/sb.py:150-168):
+    ``> 1`` prints the cost after every outer Bregman iteration, any
+    truthy value prints the final cost.
     """
+    disp = int(disp)
     shape = x0.shape
     x = x0.ravel()
     fun_flat = lambda u: fun(u.reshape(shape)).ravel()
@@ -139,6 +145,8 @@ def split_bregman_nl(fun, x0, lr=1.0, alpha=1.0, lambd=1.0, tau=1.0,
         b = b + tau * (x - d)
         update = jnp.linalg.norm(x - x_old)
         cost = cost_fn(x)
+        if disp > 1:
+            jax.debug.print("iter {k} - cost: {c:.4f}", k=nit + 1, c=cost)
         return (x, b, d, cost, update, nit + 1)
 
     def cond(state):
@@ -148,7 +156,9 @@ def split_bregman_nl(fun, x0, lr=1.0, alpha=1.0, lambd=1.0, tau=1.0,
 
     init = (x, jnp.zeros_like(x), jnp.zeros_like(x), cost_fn(x),
             jnp.asarray(jnp.inf, x.dtype), jnp.asarray(0))
-    x, _, _, _, _, nit = lax.while_loop(cond, body, init)
+    x, _, _, cost, _, nit = lax.while_loop(cond, body, init)
+    if disp:
+        jax.debug.print("final cost: {c:.4f}", c=cost)
     if return_iters:
         return x.reshape(shape), nit
     return x.reshape(shape)

@@ -29,9 +29,21 @@ def initialize(coordinator_address=None, num_processes=None,
             process_id=process_id,
             **kwargs)
         return True
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        return False
+    except RuntimeError as e:
+        # the only benign RuntimeError is double initialization; anything
+        # else (bad coordinator address, mismatched process counts, ...)
+        # is a real multi-host misconfiguration and must not be swallowed
+        if "already initialized" in str(e).lower():
+            return False
+        raise
+    except ValueError:
+        # with NO explicit coordinator, jax relies on cluster
+        # auto-detection, which raises ValueError on a plain single-host
+        # environment — the expected no-op case. An explicitly-passed
+        # coordinator failing the same way is a misconfiguration.
+        if coordinator_address is None:
+            return False
+        raise
 
 
 def make_global_mesh(model_parallel=1):

@@ -66,6 +66,17 @@ def test_gpsr_verbose_and_iters(problem, capfd):
     assert int(k) >= 1
     out = capfd.readouterr().out
     assert "obj =" in out and "nz =" in out
+    # final summary after the ladder (reference gpsr.py:325-333)
+    assert "Final obj =" in out
+
+
+def test_gpsr_verbose_debias_summary(problem, capfd):
+    x, W, _ = problem
+    z = _flush(gpsr_basic(x, lambda v: v @ W.T, 0.2, AT=lambda v: v @ W,
+                          maxiter=10, debias=True, verbose=True))
+    out = capfd.readouterr().out
+    # the debias phase re-prints the summary (reference gpsr.py:354-362)
+    assert "debiased: Final obj =" in out
 
 
 def test_iterative_ridge_verbose_and_iters(problem, capfd):
@@ -140,8 +151,22 @@ def test_nonlinear_verbose_and_iters(problem, capfd):
 
     resid = lambda z: (jnp.tanh(z) @ W.T - x)
     z, k = _flush(split_bregman_nl(resid, z0, alpha=0.2, max_iter=3,
-                                   solver="cg", return_iters=True))
+                                   solver="cg", disp=2,
+                                   return_iters=True))
     assert 1 <= int(k) <= 3
+    out = capfd.readouterr().out
+    # reference nl/sb.py:164-168: per-outer-iteration + final cost lines
+    assert "iter" in out and "cost:" in out
+    assert "final cost:" in out
+
+
+def test_ista_restart_verbose(problem, capfd):
+    """restart=True must keep the per-iteration loss prints (ADVICE r2)."""
+    x, W, z0 = problem
+    z, k = _flush(ista(x, z0, W, 0.2, lr=0.1, maxiter=5, tol=0.0,
+                       restart=True, verbose=True, return_iters=True))
+    assert int(k) == 5
+    assert "loss:" in capfd.readouterr().out
 
 
 def test_sparse_encode_return_iters_all_algorithms(problem):
