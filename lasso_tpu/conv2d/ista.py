@@ -21,13 +21,18 @@ from lasso_tpu.ops.shrink import soft_threshold
 
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 maxiter=10, lr="auto", tol=1e-5, restart=False,
-                verbose=False, return_iters=False):
+                axis_name=None, verbose=False, return_iters=False):
     """Conv FISTA (reference conv2d/ista.py:7-48).
 
     ``restart=True``: per-sample adaptive momentum restart (O'Donoghue &
     Candes), same lever as :func:`lasso_tpu.linear.solvers.ista` — each
     sample carries its own t-sequence and resets it when its
     gradient-mapping test fires. Off by default for reference parity.
+
+    ``axis_name``: when the batch axis is sharded inside ``jax.shard_map``,
+    pass the mesh axis name so the reference's batch-GLOBAL stopping sum
+    ``sum|dz| <= numel * tol`` (conv2d/ista.py:44) psum-reduces across
+    shards; the per-sample conv solves themselves need no communication.
 
     ``verbose`` prints the lasso loss per iteration (reference
     conv2d/ista.py:36-37).
@@ -47,6 +52,14 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
         lr = 1.0 / L
     lr = jnp.asarray(lr, x.dtype)
     tol_total = z0.size * tol
+    if axis_name is not None:
+        tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
+
+    def _delta(z_new, z_old):
+        d = jnp.sum(jnp.abs(z_new - z_old))
+        if axis_name is not None:
+            d = lax.psum(d, axis_name)
+        return d
 
     def rss_grad(zk):
         x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
@@ -81,7 +94,7 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
             rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
                            keepdims=True)
             t_new = jnp.where(rdot > 0, 1.0, t_next)
-            done = jnp.sum(jnp.abs(z_new - z)) <= tol_total
+            done = _delta(z_new, z) <= tol_total
             return (z_new, z, t_new, k + 1, done)
 
         t0 = jnp.zeros((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
@@ -101,7 +114,7 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
             y_next = z_next + ((t - 1) / t_next) * (z_next - z)
         else:
             t_next, y_next = t, z_next
-        done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
+        done = _delta(z_next, z) <= tol_total
         return (z_next, y_next, t_next, k + 1, done)
 
     init = (z0, z0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),

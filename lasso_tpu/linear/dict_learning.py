@@ -43,13 +43,19 @@ def dict_evaluate(X, weight, alpha, **kwargs):
 
 
 def update_dict(dictionary, X, Z, key=None, positive=False, eps=1e-10,
-                precision=None):
+                precision=None, axis_name=None):
     """Sequential per-atom dictionary update (sklearn-style).
 
     Reference dl.py:56-103: for each atom k, add back its rank-1
     contribution to the residual, re-fit it as ``Z[:,k]^T R``, renormalize,
     and re-randomize degenerate atoms (zeroing their coefficients).
     Order-dependent by construction — kept as a ``fori_loop`` for parity.
+
+    ``axis_name``: inside ``jax.shard_map`` with the sample axis sharded,
+    pass the axis name so each atom's refit ``Z[:,k]^T R`` psums to its
+    global value (the ONLY cross-shard quantity: the rank-1 residual
+    updates are row-local, and the degenerate-atom decision then depends
+    only on the psum'd atom, so every shard takes the same branch).
 
     Returns ``(dictionary, Z)`` (the reference mutates Z in place).
     """
@@ -71,6 +77,8 @@ def update_dict(dictionary, X, Z, key=None, positive=False, eps=1e-10,
         R = R + jnp.outer(z_k, w_k)
         # re-fit atom k against the residual
         atom = jnp.matmul(z_k, R, precision=prec)  # [D]
+        if axis_name is not None:
+            atom = lax.psum(atom, axis_name)
         if positive:
             atom = jnp.maximum(atom, 0.0)
         atom_norm = jnp.linalg.norm(atom)
@@ -97,7 +105,7 @@ def update_dict(dictionary, X, Z, key=None, positive=False, eps=1e-10,
 
 
 def update_dict_block(dictionary, X, Z, key=None, positive=False, eps=1e-10,
-                      lambd=1e-6, precision=None):
+                      lambd=1e-6, precision=None, axis_name=None):
     """Block-parallel constrained dictionary update (TPU-native alternative
     to the sequential :func:`update_dict`; SURVEY.md §7 phase 5 variant b).
 
@@ -106,10 +114,15 @@ def update_dict_block(dictionary, X, Z, key=None, positive=False, eps=1e-10,
     coefficients) — the same fixed points as the sequential update without
     its order dependence, and one [K,K] Cholesky instead of K rank-1
     passes. Returns ``(dictionary, Z)``.
+
+    ``axis_name`` threads to the inner ridge fit's Gram psums (the joint
+    fit and the renormalization that follows are then global; degenerate
+    decisions agree across shards).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    V = update_dict_ridge(X, Z, lambd=lambd, precision=precision)  # [D, K]
+    V = update_dict_ridge(X, Z, lambd=lambd, precision=precision,
+                          axis_name=axis_name)                     # [D, K]
     if positive:
         V = jnp.maximum(V, 0.0)
     norms = jnp.linalg.norm(V, axis=0)                             # [K]

@@ -54,6 +54,16 @@ def constrained_inference(x, weight, z0=None, constr=True, bound=True,
     (drop-in capability match for reference scipy_inference.py:211-268).
 
     x: [B, D], weight: [D, K] -> z: [B, K]
+
+    Infeasibility: when ``rss_lim`` is below a sample's attainable
+    minimum RSS (possible only for undercomplete / rank-deficient W —
+    any overcomplete full-row-rank dictionary can drive RSS to 0), no
+    bisection midpoint is ever feasible, the bracket collapses to its
+    low end, and the returned code is the best-effort minimum-RSS
+    solution (FISTA at the vanishing penalty ``alpha_max * 1e-7``) —
+    its RSS will exceed ``rss_lim``, which the caller can check. The
+    reference's scipy solvers return their own best iterate in the same
+    situation.
     """
     prec = get_precision(precision)
     if x.ndim == 1:

@@ -66,7 +66,7 @@ def hessian_2norm(fun, x, niter=10, key=None, u0=None,
 
 def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
             power_iters=10, tol=1e-5, key=None, lr_refresh=1,
-            restart=False, verbose=0, return_iters=False):
+            restart=False, axis_name=None, verbose=0, return_iters=False):
     """Nonlinear (F)ISTA (reference nl/ista.py:55-128).
 
     decoder: traceable ``z -> x_hat`` with output shape matching ``x``.
@@ -87,12 +87,20 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
     Candes), the same lever as the linear solver's — each sample carries
     its own t-sequence and resets it when its gradient-mapping test
     fires. Requires ``fast=True``; off by default for reference parity.
+
+    ``axis_name``: when the batch axis is sharded inside ``jax.shard_map``
+    (the decoder must be per-sample, i.e. batched elementwise over rows),
+    pass the mesh axis name so the reference's batch-global stopping sum
+    (nl/ista.py:106-108) psum-reduces across shards. The RSS gradient and
+    the per-sample Hessian power iteration are row-local already.
     """
     verbose = int(verbose)
     if not (lr == "auto" or isinstance(lr, (int, float))):
         raise ValueError('expected `lr` to be either float or "auto".')
     lr_refresh = max(1, int(lr_refresh))
     tol_total = z0.size * tol
+    if axis_name is not None:
+        tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
     auto_lr = lr == "auto"
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -148,7 +156,10 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
         else:
             lr_k, u_new = lr_c, u_c
         z_next = step(at, lr_k)
-        done = jnp.sum(jnp.abs(z - z_next)) <= tol_total
+        delta = jnp.sum(jnp.abs(z - z_next))
+        if axis_name is not None:
+            delta = lax.psum(delta, axis_name)
+        done = delta <= tol_total
         if fast:
             t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
             y_next = z_next + ((t - 1) / t_next) * (z_next - z)
@@ -187,7 +198,10 @@ def ista_nl(x, z0, decoder, alpha=1.0, fast=True, maxiter=10, lr="auto",
             rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
                            keepdims=True)
             t_new = jnp.where(rdot > 0, 1.0, t_next)
-            done = jnp.sum(jnp.abs(z_new - z)) <= tol_total
+            delta = jnp.sum(jnp.abs(z_new - z))
+            if axis_name is not None:
+                delta = lax.psum(delta, axis_name)
+            done = delta <= tol_total
             if verbose > 1:
                 jax.debug.print("iter {k} - loss: {l:.4f}",
                                 k=k + 1, l=lasso_loss(z_new))

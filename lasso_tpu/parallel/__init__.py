@@ -1,4 +1,7 @@
-from lasso_tpu.parallel.api import (data_parallel_encode, make_train_step)
+from lasso_tpu.parallel.api import (data_parallel_encode,
+                                    data_parallel_encode_conv2d,
+                                    data_parallel_encode_nl,
+                                    make_train_step)
 from lasso_tpu.parallel.distributed import (initialize, make_global_mesh,
                                             process_local_batch)
 from lasso_tpu.parallel.mesh import (code_sharding, data_sharding, make_mesh,
@@ -6,6 +9,7 @@ from lasso_tpu.parallel.mesh import (code_sharding, data_sharding, make_mesh,
 
 __all__ = [
     "make_mesh", "data_sharding", "code_sharding", "weight_sharding",
-    "replicated", "data_parallel_encode", "make_train_step",
+    "replicated", "data_parallel_encode", "data_parallel_encode_conv2d",
+    "data_parallel_encode_nl", "make_train_step",
     "initialize", "make_global_mesh", "process_local_batch",
 ]

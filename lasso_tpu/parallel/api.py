@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from lasso_tpu.linear.dict_learning import lasso_loss, update_dict_ridge
+from lasso_tpu.linear.dict_learning import (lasso_loss, update_dict,
+                                            update_dict_block,
+                                            update_dict_ridge)
 from lasso_tpu.linear.sparse_encode import sparse_encode
 from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
                                      replicated, weight_sharding)
@@ -49,13 +51,17 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     global convergence reduction inside the solver loop (for the solvers
     that have one).
     """
-    if kwargs.get("return_iters"):
+    return_iters = bool(kwargs.get("return_iters"))
+    if return_iters and (algorithm in ("cd", "cd-mod")
+                         or kwargs.get("per_sample_tol")
+                         or kwargs.get("per_sample")):
         raise ValueError(
-            "return_iters is not supported under data_parallel_encode: "
-            "solvers with per-sample stopping (cd, cd-mod) exit their "
-            "loops at different counts per shard, so there is no single "
-            "global iteration count to return. Call the solver directly "
-            "inside your own shard_map if you need per-shard counts.")
+            "return_iters is not supported under data_parallel_encode "
+            "for solvers with per-sample stopping (cd, cd-mod, or "
+            "per_sample/per_sample_tol modes): each shard exits its loop "
+            "at a different count, so there is no single global iteration "
+            "count to return. Call the solver directly inside your own "
+            "shard_map if you need per-shard counts.")
 
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
@@ -70,17 +76,21 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
                  if algorithm in _AXIS_NAME_ALGOS else {})
         local = partial(sparse_encode, alpha=alpha, algorithm=algorithm,
                         **extra, **kwargs)
+        # with return_iters, sparse_encode returns (z, n_iter): the count
+        # is identical across shards for the axis_name solvers (their
+        # stopping statistic is psum-reduced), so it comes out replicated
+        out_specs = (P("data"), P()) if return_iters else P("data")
         if z0 is not None:
             fn_z0 = jax.jit(jax.shard_map(
                 lambda x, w, z0: local(x, w, z0=z0), mesh=mesh,
-                in_specs=(P("data"), P(), P("data")), out_specs=P("data"),
+                in_specs=(P("data"), P(), P("data")), out_specs=out_specs,
                 check_vma=False))
             x = jax.device_put(x, x_sh)
             weight = jax.device_put(weight, w_sh)
             return fn_z0(x, weight, jax.device_put(z0, z_sh))
         fn = jax.jit(jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P("data"), P()), out_specs=P("data"),
+            in_specs=(P("data"), P()), out_specs=out_specs,
             check_vma=False))
     else:
         if algorithm in _PALLAS_ALGOS:
@@ -89,31 +99,116 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
             partial(sparse_encode, alpha=alpha, algorithm=algorithm,
                     **kwargs),
             in_shardings=(x_sh, w_sh),
-            out_shardings=z_sh,
+            out_shardings=(z_sh, replicated(mesh)) if return_iters
+            else z_sh,
         )
     x = jax.device_put(x, x_sh)
     weight = jax.device_put(weight, w_sh)
     return fn(x, weight)
 
 
+def data_parallel_encode_conv2d(mesh, x, weight, alpha=1.0, z0=None,
+                                stride=1, padding=0, **kwargs):
+    """Shard a conv sparse-coding batch over the mesh's 'data' axis.
+
+    x: [N, C_x, H, W] (N divisible by the data-axis size), weight:
+    [C_z, C_x, kh, kw] replicated. Per-sample conv solves are independent;
+    the solver's batch-global stopping sum psums over 'data'
+    (``ista_conv2d(axis_name=...)``). ``z0`` defaults to zeros with the
+    conv-geometry code shape.
+    """
+    import jax as _jax
+    from lasso_tpu.conv2d.ista import ista_conv2d
+    from lasso_tpu.conv2d.ops import conv2d
+
+    weight = jnp.asarray(weight)
+    if z0 is None:
+        code = _jax.eval_shape(
+            lambda xx: conv2d(xx, weight, stride=stride, padding=padding),
+            _jax.ShapeDtypeStruct(x.shape, x.dtype))
+        z0 = jnp.zeros(code.shape, x.dtype)
+
+    if kwargs.get("return_iters"):
+        raise ValueError("return_iters is not supported under "
+                         "data_parallel_encode_conv2d")
+    local = partial(ista_conv2d, alpha=alpha, stride=stride,
+                    padding=padding, axis_name="data", **kwargs)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data"), P()),
+        out_specs=P("data"), check_vma=False))
+    x_sh = data_sharding(mesh)
+    return fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh),
+              jax.device_put(weight, replicated(mesh)))
+
+
+def data_parallel_encode_nl(mesh, x, z0, decoder, alpha=1.0, **kwargs):
+    """Shard a nonlinear sparse-coding batch over the mesh's 'data' axis.
+
+    ``decoder`` must be per-sample (batched elementwise over rows — true
+    of any ``vmap``-style decoder), since each shard applies it to its
+    local rows only. The batch-global stopping sum psums over 'data'
+    (``ista_nl(axis_name=...)``); the per-sample Hessian power iteration
+    is row-local.
+    """
+    from lasso_tpu.nonlinear.ista import ista_nl
+
+    if kwargs.get("return_iters"):
+        raise ValueError("return_iters is not supported under "
+                         "data_parallel_encode_nl")
+    local = partial(ista_nl, alpha=alpha, axis_name="data", **kwargs)
+    fn = jax.jit(jax.shard_map(
+        lambda x_, z0_: local(x_, z0_, decoder), mesh=mesh,
+        in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False))
+    x_sh = data_sharding(mesh)
+    return fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh))
+
+
 def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
-                    algorithm="ista", **solver_kwargs):
-    """One jitted EM step of unconstrained dictionary learning over a mesh.
+                    algorithm="ista", constrained=False,
+                    dict_update="sequential", block_lambd=1e-6,
+                    **solver_kwargs):
+    """One jitted EM step of dictionary learning over a mesh.
 
     x is sharded over 'data'; W is replicated (or column-sharded over
     'model'). The ridge update's Z^T Z / Z^T X products psum over 'data'.
-    Returns ``step(x, W) -> (W_new, loss)`` plus the input shardings.
+
+    ``constrained=False`` (default) uses the unconstrained ridge M-step
+    and returns ``step(x, W) -> (W_new, loss)``. ``constrained=True``
+    mirrors :func:`lasso_tpu.linear.dict_learning` (unit-norm atoms with
+    degenerate re-randomization; ``dict_update`` selects 'sequential'
+    reference parity, per-atom psum of ``Z[:,k]^T R`` — or 'block', one
+    psum'd joint ridge + renormalization) and returns
+    ``step(x, W, key) -> (W_new, loss)`` — the PRNG key seeds the
+    degenerate-atom replacements and must be identical on every process.
+    Returns the step plus the input shardings either way.
     """
+    if dict_update not in ("sequential", "block"):
+        raise ValueError(f"dict_update must be 'sequential' or 'block', "
+                         f"got {dict_update!r}")
     x_sh = data_sharding(mesh)
     w_sh = weight_sharding(mesh, shard_atoms)
 
+    def m_step(x, weight, Z, key, axis_name=None):
+        if not constrained:
+            return update_dict_ridge(x, Z, lambd=lambd,
+                                     axis_name=axis_name)
+        if dict_update == "sequential":
+            W_new, _ = update_dict(weight, x, Z, key=key,
+                                   axis_name=axis_name)
+        else:
+            W_new, _ = update_dict_block(weight, x, Z, key=key,
+                                         lambd=block_lambd,
+                                         axis_name=axis_name)
+        return W_new
+
     if algorithm in _SHARD_MAP_ALGOS and not shard_atoms:
         # shard_map route: psum-reduced Gram statistics (SURVEY.md §2.3),
-        # via update_dict_ridge's own axis_name support
+        # via the dict updates' own axis_name support
         extra = ({"axis_name": "data"}
                  if algorithm in _AXIS_NAME_ALGOS else {})
 
-        def local_step(x, weight):
+        def local_step(x, weight, key):
             Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
                               **extra, **solver_kwargs)
             n_global = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype),
@@ -121,25 +216,33 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
             loss = jax.lax.psum(
                 lasso_loss(x, Z, weight, alpha) * x.shape[0], "data"
             ) / n_global
-            W_new = update_dict_ridge(x, Z, lambd=lambd, axis_name="data")
+            W_new = m_step(x, weight, Z, key, axis_name="data")
             return W_new, loss
 
         jit_step = jax.jit(jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(P("data"), P()), out_specs=(P(), P()),
+            in_specs=(P("data"), P(), P()), out_specs=(P(), P()),
             check_vma=False))
+    else:
+        if algorithm in _PALLAS_ALGOS:
+            solver_kwargs.setdefault("use_pallas", False)
+
+        def step(x, weight, key):
+            Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
+                              **solver_kwargs)
+            loss = lasso_loss(x, Z, weight, alpha)
+            W_new = m_step(x, weight, Z, key)
+            return W_new, loss
+
+        jit_step = jax.jit(
+            step, in_shardings=(x_sh, w_sh, replicated(mesh)),
+            out_shardings=(w_sh if not constrained else replicated(mesh),
+                           replicated(mesh)))
+
+    if constrained:
         return jit_step, (x_sh, w_sh)
 
-    if algorithm in _PALLAS_ALGOS:
-        solver_kwargs.setdefault("use_pallas", False)
-
-    def step(x, weight):
-        Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
-                          **solver_kwargs)
-        loss = lasso_loss(x, Z, weight, alpha)
-        W_new = update_dict_ridge(x, Z, lambd=lambd)
-        return W_new, loss
-
-    jit_step = jax.jit(step, in_shardings=(x_sh, w_sh),
-                       out_shardings=(w_sh, replicated(mesh)))
-    return jit_step, (x_sh, w_sh)
+    # unconstrained: keep the step(x, W) signature (the key is unused by
+    # the ridge M-step)
+    _dummy_key = jax.random.PRNGKey(0)
+    return (lambda x, weight: jit_step(x, weight, _dummy_key)), (x_sh, w_sh)

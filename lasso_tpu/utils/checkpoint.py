@@ -62,18 +62,27 @@ def restore_checkpoint(path: str, template: Any = None,
 def dict_learning_resumable(X, n_components, alpha=1.0, constrained=True,
                             persist=False, lambd=1e-2, steps=60,
                             ckpt_dir=None, save_every=10, key=None,
-                            algorithm="ista", **solver_kwargs):
+                            algorithm="ista", dict_update="sequential",
+                            block_lambd=1e-6, progbar=False,
+                            **solver_kwargs):
     """`dict_learning` with periodic Orbax checkpoints and exact resume.
 
     Runs ``save_every`` EM steps per compiled scan segment, checkpointing
     between segments; on restart, picks up from the latest saved step.
     Returns ``(weight, losses)`` like
-    :func:`lasso_tpu.linear.dict_learning.dict_learning`.
+    :func:`lasso_tpu.linear.dict_learning.dict_learning`, and accepts the
+    same M-step options (``dict_update``/``block_lambd``/``progbar``) so
+    the checkpointed path never diverges from the main path's behavior.
     """
     from jax import lax
     from lasso_tpu.linear.dict_learning import (lasso_loss, update_dict,
+                                                update_dict_block,
                                                 update_dict_ridge)
     from lasso_tpu.linear.sparse_encode import sparse_encode
+
+    if dict_update not in ("sequential", "block"):
+        raise ValueError(f"dict_update must be 'sequential' or 'block', "
+                         f"got {dict_update!r}")
 
     n_samples, n_features = X.shape
     if key is None:
@@ -111,8 +120,13 @@ def dict_learning_resumable(X, n_components, alpha=1.0, constrained=True,
         Z = sparse_encode(X, weight, alpha, z0=z0_arg, algorithm=algorithm,
                           **solver_kwargs)
         loss = lasso_loss(X, Z, weight, alpha)
-        if constrained:
+        if progbar:
+            jax.debug.print("dict_learning loss: {l}", l=loss)
+        if constrained and dict_update == "sequential":
             weight_new, Z = update_dict(weight, X, Z, key=step_key)
+        elif constrained:
+            weight_new, Z = update_dict_block(weight, X, Z, key=step_key,
+                                              lambd=block_lambd)
         else:
             weight_new = update_dict_ridge(X, Z, lambd=lambd)
         return (weight_new, Z), loss

@@ -51,6 +51,14 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     dictionary shrinking with automatic full-K fallback; pays off at
     strongly-sparse alphas where a chunk's union support sits well
     under K). ``screen_kwargs`` forwards warm_iters/bucket/min_shrink.
+    Note: the screened path host-syncs inside each dispatch (keep-mask +
+    gap readback), so the one-deep dispatch/land pipeline below degrades
+    to sequential chunk processing when ``screen=True``.
+
+    ``algorithm='ista_conv2d'`` streams a conv sparse-coding batch:
+    x: [N, C_x, H, W], weight: [C_z, C_x, kh, kw], codes
+    [N, C_z, H_z, W_z] (conv geometry); forwards stride/padding/etc. to
+    :func:`lasso_tpu.conv2d.ista_conv2d`. Dense output only.
     """
     from lasso_tpu.linear.screening import screened_encode
     from lasso_tpu.linear.sparse_encode import sparse_encode
@@ -62,17 +70,34 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
             "a preallocated `out` buffer applies only to output='dense'; "
             "the CSR path returns freshly packed (values, cols, row_ptr) "
             "arrays whose sizes are data-dependent")
+    conv = algorithm == "ista_conv2d"
+    if conv and (output != "dense" or screen):
+        raise ValueError("ista_conv2d supports only output='dense' "
+                         "without screening (the CSR packer and gap-safe "
+                         "screening are 2-D code paths)")
     N = x.shape[0]
-    K = weight.shape[1]
     weight = jnp.asarray(weight)
     # codes follow x's dtype (sparse_encode initializes z0 as x.dtype)
     out_dtype = np.asarray(x[:0]).dtype
+
+    if conv:
+        from lasso_tpu.conv2d.ista import ista_conv2d
+        from lasso_tpu.conv2d.ops import conv2d
+        conv_kw = {k: kwargs.pop(k) for k in ("stride", "padding")
+                   if k in kwargs}
+        code = jax.eval_shape(
+            lambda xx: conv2d(xx, weight, **conv_kw),
+            jax.ShapeDtypeStruct((min(chunk_size, max(N, 1)),)
+                                 + x.shape[1:], out_dtype))
+        code_shape = code.shape[1:]
+    else:
+        code_shape = (weight.shape[1],)
 
     csr = output == "csr"
     if csr:
         vals_parts, cols_parts, nnz_rows = [], [], []
     elif out is None:
-        out = np.empty((N, K), dtype=out_dtype)
+        out = np.empty((N,) + code_shape, dtype=out_dtype)
     if N == 0:
         if csr:
             return (np.empty(0, np.float32), np.empty(0, np.int32),
@@ -83,6 +108,10 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     if screen:
         run = partial(screened_encode, alpha=alpha, algorithm=algorithm,
                       **(screen_kwargs or {}), **kwargs)
+    elif conv:
+        z0_chunk = jnp.zeros((chunk_size,) + code_shape, out_dtype)
+        run = jax.jit(lambda xb, w: ista_conv2d(
+            xb, z0_chunk, w, alpha=alpha, **conv_kw, **kwargs))
     else:
         run = jax.jit(partial(sparse_encode, alpha=alpha,
                               algorithm=algorithm, **kwargs))
@@ -91,7 +120,7 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
         stop = min(start + chunk_size, N)
         xb = np.asarray(x[start:stop])
         if stop - start < chunk_size:  # pad the tail chunk
-            pad = np.zeros((chunk_size - (stop - start), x.shape[1]),
+            pad = np.zeros((chunk_size - (stop - start),) + x.shape[1:],
                            dtype=xb.dtype)
             xb = np.concatenate([xb, pad], axis=0)
         zb = run(jnp.asarray(xb), weight)

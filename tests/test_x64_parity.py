@@ -67,6 +67,89 @@ def test_linear_solver_x64_parity(linear_problem, algo, kw, ours_kw):
     assert abs(f_tpu - f_ref) <= 1e-6 * abs(f_ref), (algo, f_tpu, f_ref)
 
 
+def test_constrained_inference_x64_parity(linear_problem):
+    """Golden certification of the scipy_inference replacement (VERDICT r2
+    item 2): both live reference forms — the constrained
+    ``min ||z||_1 s.t. 0.5||Wz - x||^2 <= rss_lim`` (_solve_constr,
+    scipy_inference.py:12-60) and the penalized bound form (_solve_bound,
+    :135-194) — against our bisection-on-alpha / FISTA reformulations."""
+    lasso_ref = load_reference()
+    if lasso_ref is None:
+        pytest.skip("reference library unavailable")
+    from lasso.linear.solvers.scipy_inference import scipy_inference as ref_si
+
+    from lasso_tpu.linear.solvers import constrained_inference
+
+    x, W, alpha = linear_problem
+    x = x[:4]  # keep the per-sample scipy loop cheap
+    rss_lim = 0.05
+
+    # --- constrained form (constr=True) ---
+    z_ref = np.stack([
+        ref_si(x[i], W, constr=True, bound=False, method="slsqp",
+               rss_lim=rss_lim, tol=1e-12, maxiter=2000)
+        for i in range(x.shape[0])])
+    with jax.enable_x64():
+        z = np.asarray(constrained_inference(
+            jnp.asarray(x), jnp.asarray(W), constr=True, rss_lim=rss_lim,
+            fista_iters=600, bisect_iters=50))
+
+    l1_ref = np.abs(z_ref).sum(axis=1)
+    l1_ours = np.abs(z).sum(axis=1)
+    # minimal-l1 property: match scipy's optimum to 1e-6 relative
+    np.testing.assert_allclose(l1_ours, l1_ref, rtol=1e-6)
+
+    def rss(z_):
+        r = z_ @ W.T - x
+        return 0.5 * np.sum(r * r, axis=1)
+
+    # RSS at the solution: the constraint binds at the optimum for both
+    np.testing.assert_allclose(rss(z), rss_lim, rtol=1e-6)
+    np.testing.assert_allclose(rss(z_ref), rss_lim, rtol=1e-4)
+
+    # --- penalized form (constr=False, bound=True) ---
+    z_ref_p = np.stack([
+        ref_si(x[i], W, constr=False, bound=True, method="l-bfgs-b",
+               alpha=alpha, tol=1e-14)
+        for i in range(x.shape[0])])
+    with jax.enable_x64():
+        z_p = np.asarray(constrained_inference(
+            jnp.asarray(x), jnp.asarray(W), constr=False, alpha=alpha,
+            fista_iters=5000))
+    f_ref = lasso_objective(x, W, z_ref_p, alpha)
+    f_ours = lasso_objective(x, W, z_p, alpha)
+    assert abs(f_ours - f_ref) <= 1e-6 * abs(f_ref), (f_ours, f_ref)
+
+
+def test_constrained_inference_infeasible_rss_lim():
+    """Unattainable rss_lim (undercomplete W: min RSS > 0): the bracket's
+    low end is never feasible, and the solver must return the best-effort
+    minimum-RSS solution rather than something arbitrary (VERDICT r2
+    item 2 edge case)."""
+    from lasso_tpu.linear.solvers import constrained_inference
+
+    rng = np.random.default_rng(11)
+    B, D, K = 3, 12, 6  # K < D: least-squares residual is positive
+    x = rng.standard_normal((B, D))
+    W = rng.standard_normal((D, K))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+
+    # attainable minimum RSS per sample (dense least squares)
+    z_ls, *_ = np.linalg.lstsq(W, x.T, rcond=None)
+    r_min = 0.5 * np.sum((z_ls.T @ W.T - x) ** 2, axis=1)
+    assert np.all(r_min > 1e-3), "problem must actually be infeasible"
+    rss_lim = float(r_min.min()) * 0.5  # below every sample's minimum
+
+    with jax.enable_x64():
+        z = np.asarray(constrained_inference(
+            jnp.asarray(x), jnp.asarray(W), constr=True, rss_lim=rss_lim,
+            fista_iters=800, bisect_iters=40))
+    rss = 0.5 * np.sum((z @ W.T - x) ** 2, axis=1)
+    # best effort: RSS lands at the attainable minimum (within FISTA tol
+    # at the vanishing bracket-low penalty), NOT at rss_lim
+    np.testing.assert_allclose(rss, r_min, rtol=1e-6)
+
+
 def test_cd_mod_x64_parity(linear_problem):
     """cd-mod is not dispatched by the reference's sparse_encode; call it
     directly (n == d avoids its z0 shape bug, DIVERGENCES #1)."""
