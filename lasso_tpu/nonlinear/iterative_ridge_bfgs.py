@@ -39,19 +39,98 @@ def _bfgs_update(B, x, g, x_prev, g_prev, first):
     return jnp.where(valid, B_new, B)
 
 
+def _irb_per_sample(fun_vec, x0, alpha, lr, xtol, tikhonov, eps,
+                    line_search, maxiter, ls_maxiter, return_iters):
+    """Per-row iterative-ridge BFGS: ``fun_vec``: [B, K] -> [B] per-row
+    losses; per-row golden-section step and ``||dx_i||`` stop, frozen
+    rows' rank-2 updates rejected by the existing validity masking."""
+    B, K = x0.shape
+    if maxiter is None:
+        maxiter = K * 5
+    if eps is None:
+        eps = float(jnp.finfo(x0.dtype).eps)
+    diag_idx = jnp.arange(K)
+    grad_fun = jax.grad(lambda z: jnp.sum(fun_vec(z)))
+
+    def evaluate(x):
+        return fun_vec(x) + alpha * jnp.sum(jnp.abs(x), axis=1), grad_fun(x)
+
+    f0, g0 = evaluate(x0)
+    t0 = jnp.clip(lr / (jnp.sum(jnp.abs(g0), axis=1) + 1e-30), None, lr)
+    B0 = jnp.eye(K, dtype=x0.dtype)[None].repeat(B, axis=0)
+
+    def body(state):
+        x, fval, grad, Bm, t_init, x_prev, g_prev, k, done_prev = state
+        xmag = jnp.abs(x)
+        is_zero = xmag < eps
+        diag = jnp.where(is_zero, 0.0, alpha / jnp.where(is_zero, 1.0, xmag))
+        rhs = jnp.where(is_zero, 0.0, grad + diag * x)
+
+        mask2 = is_zero[:, :, None] | is_zero[:, None, :]
+        Bk = jnp.where(mask2, 0.0, Bm)
+        Bk = Bk.at[:, diag_idx, diag_idx].add(diag + tikhonov)
+        d = batch_cholesky_solve(rhs, Bk)
+
+        if line_search:
+            def line_obj(tt):                                  # [B] -> [B]
+                x_new = x - tt[:, None] * d
+                return (fun_vec(x_new)
+                        + alpha * jnp.sum(jnp.abs(x_new), axis=1))
+            t, _ = golden_section(line_obj, jnp.zeros((B,), x.dtype),
+                                  jnp.full((B,), 10.0, x.dtype),
+                                  maxiter=ls_maxiter)
+        else:
+            t = t_init
+
+        keep = done_prev[:, None]
+        x_new = jnp.where(keep | is_zero, x, x - t[:, None] * d)
+        delta = jnp.linalg.norm(x_new - x, axis=1)             # [B]
+        f_new, g_new = evaluate(x_new)
+        done = done_prev | (delta <= xtol) | ~jnp.isfinite(f_new)
+
+        # frozen rows have s = 0 -> rho_inv = 0 -> update rejected
+        B_new = _bfgs_update(Bm, x_new, g_new, x, grad, first=(k == 0))
+        t_next = jnp.full((B,), lr, x.dtype)
+        return (x_new, f_new, g_new, B_new, t_next, x, grad, k + 1, done)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), k < maxiter)
+
+    init = (x0, f0, g0, B0, t0, x0, g0, jnp.asarray(0),
+            jnp.zeros((B,), bool))
+    x, *_, k, _ = lax.while_loop(cond, body, init)
+    if return_iters:
+        return x, jnp.broadcast_to(k, (B,))
+    return x
+
+
 def iterative_ridge_bfgs(f, x0, alpha=1.0, lr=1.0, xtol=1e-5, tikhonov=1e-4,
                          eps=None, line_search=True, maxiter=None,
-                         ls_maxiter=30, verbose=0, return_iters=False):
+                         ls_maxiter=30, per_sample=False, verbose=0,
+                         return_iters=False):
     """Nonlinear iterative ridge with BFGS (reference irb.py:45-140).
 
     f: traceable ``x -> scalar`` smooth loss; x0: [B, K].
 
+    The BFGS memory is already per-sample ([B, K, K]); what the reference
+    shares across the batch is the line-search step and the ``||dx||``
+    stop. ``per_sample=True`` gives each row its own golden-section step
+    and stopping test (converged rows freeze; their curvature updates
+    become no-ops). The contract changes with it: ``f`` must then map
+    [B, K] -> [B] PER-ROW losses, so each row's line search sees its own
+    objective. Default False for reference parity.
+
     ``verbose`` mirrors the reference (irb.py:92-93, 125-126, 136-138):
     >=1 prints initial/final loss and iterations, >1 adds a
-    per-iteration loss / ||dx|| line.
+    per-iteration loss / ||dx|| line (batch mode only).
     """
     verbose = int(verbose)
     assert x0.ndim == 2
+    if per_sample:
+        return _irb_per_sample(f, x0, alpha, lr, xtol, tikhonov, eps,
+                               line_search, maxiter, ls_maxiter,
+                               return_iters)
     if maxiter is None:
         maxiter = x0.shape[1] * 5
     if eps is None:

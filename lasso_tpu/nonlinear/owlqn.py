@@ -122,20 +122,144 @@ def lbfgs_update(state, x, g):
     )
 
 
+def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
+                      history_size, ls_maxiter, return_iters):
+    """Per-row OWL-QN: batched circular-buffer L-BFGS where every
+    cross-sample reduction of the batch core becomes a per-row one.
+
+    ``fun_vec``: [B, K] -> [B] per-row smooth losses. Rejected curvature
+    updates and frozen (converged) rows write INERT slots (s = y = 0,
+    rho = 0 — exact no-ops in the two-loop recursion), so the buffer
+    head/count stay row-uniform and the recursion needs no per-row
+    indexing.
+    """
+    B, K = x0.shape
+    m = history_size
+    grad_fun = jax.grad(lambda z: jnp.sum(fun_vec(z)))
+
+    def evaluate(x):
+        f = fun_vec(x) + alpha * jnp.sum(jnp.abs(x), axis=1)   # [B]
+        g = grad_fun(x)
+        return f, g, pseudo_grad(x, g, alpha)
+
+    f0, g0, gp0 = evaluate(x0)
+    t0 = jnp.clip(lr / (jnp.sum(jnp.abs(gp0), axis=1) + 1e-30),
+                  None, lr)                                    # [B]
+
+    def solve(s_hist, y_hist, rho, h_diag, head, count, d):
+        # two-loop recursion, per-row dot products; inert slots no-op
+        q = d
+
+        def slot(i):
+            return (head - 1 - i) % m
+
+        def bwd(i, carry):
+            q, alphas = carry
+            idx = slot(i)
+            a = rho[idx] * jnp.sum(s_hist[idx] * q, axis=1)    # [B]
+            return (q - a[:, None] * y_hist[idx], alphas.at[idx].set(a))
+
+        q, alphas = lax.fori_loop(0, m, bwd,
+                                  (q, jnp.zeros((m, B), q.dtype)))
+        q = q * h_diag[:, None]
+
+        def fwd(j, q):
+            idx = slot(count - 1 - j)
+            b = rho[idx] * jnp.sum(y_hist[idx] * q, axis=1)    # [B]
+            return q + (alphas[idx] - b)[:, None] * s_hist[idx]
+
+        return lax.fori_loop(0, m, fwd, q)
+
+    def body(state):
+        (x, f, g, gp, s_hist, y_hist, rho, h_diag, head, count,
+         x_prev, g_prev, t_init, k, done_prev) = state
+        v = -gp
+        d = solve(s_hist, y_hist, rho, h_diag, head, count, v)
+        d = project(d, v)
+        eta = jnp.where(x == 0, jnp.sign(v), jnp.sign(x))
+
+        def f_at(t):                                           # [B] -> [B]
+            x_new = project(x + t[:, None] * d, eta)
+            return fun_vec(x_new) + alpha * jnp.sum(jnp.abs(x_new), axis=1)
+
+        t, _ = golden_section(f_at, jnp.zeros((B,), x.dtype),
+                              jnp.full((B,), 10.0, x.dtype),
+                              maxiter=ls_maxiter)
+
+        keep = done_prev[:, None]
+        x_new = jnp.where(keep, x, project(x + t[:, None] * d, eta))
+        delta = jnp.linalg.norm(x_new - x, axis=1)             # [B]
+        f_new, g_new, gp_new = evaluate(x_new)
+        done = done_prev | (delta <= xtol)
+
+        # curvature-guarded per-row memory write; frozen rows have s = 0
+        # and are rejected automatically
+        s = x_new - x_prev
+        y = g_new - g_prev
+        rho_inv = jnp.sum(y * s, axis=1)                       # [B]
+        ok = rho_inv > 1e-10
+        s_hist = s_hist.at[head].set(jnp.where(ok[:, None], s, 0.0))
+        y_hist = y_hist.at[head].set(jnp.where(ok[:, None], y, 0.0))
+        rho = rho.at[head].set(
+            jnp.where(ok, 1.0 / jnp.where(ok, rho_inv, 1.0), 0.0))
+        h_diag = jnp.where(
+            ok, rho_inv / (jnp.sum(y * y, axis=1) + 1e-30), h_diag)
+        x_prev = jnp.where(ok[:, None], x_new, x_prev)
+        g_prev = jnp.where(ok[:, None], g_new, g_prev)
+        t_next = jnp.full((B,), lr, x.dtype)
+        return (x_new, f_new, g_new, gp_new, s_hist, y_hist, rho, h_diag,
+                (head + 1) % m, jnp.minimum(count + 1, m),
+                x_prev, g_prev, t_next, k + 1, done)
+
+    def cond(state):
+        k, done = state[-2], state[-1]
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)),
+                               k < max_iter)
+
+    init = (x0, f0, g0, gp0,
+            jnp.zeros((m, B, K), x0.dtype), jnp.zeros((m, B, K), x0.dtype),
+            jnp.zeros((m, B), x0.dtype), jnp.ones((B,), x0.dtype),
+            jnp.asarray(0), jnp.asarray(0),
+            x0, g0, t0, jnp.asarray(0), jnp.zeros((B,), bool))
+    out = lax.while_loop(cond, body, init)
+    x, k, done = out[0], out[-2], out[-1]
+    if return_iters:
+        # per-row effective iteration count is not tracked (rows freeze
+        # in place); return the shared loop count like the batch mode,
+        # broadcast per row for shape consistency
+        return x, jnp.broadcast_to(k, (B,))
+    return x
+
+
 def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
           history_size=100, line_search="brent", ls_options=None,
-          ls_maxiter=30, verbose=0, return_iters=False):
+          ls_maxiter=30, per_sample=False, verbose=0, return_iters=False):
     """OWL-QN (reference owlqn.py:80-198).
 
     fun: traceable ``x -> scalar`` smooth loss (the l1 term is added here
     and excluded from gradients, as in the reference).
 
+    ``per_sample=True`` upgrades the reference's whole-batch coupling —
+    one flattened L-BFGS memory, one line-search step, and one ``||dx||``
+    stop shared across the batch — to fully independent per-sample solves:
+    each row gets its own [history, K] memory, golden-section step, and
+    stopping test; converged rows freeze. The contract changes with it:
+    ``fun`` must then map [B, K] -> [B] PER-ROW losses (so each row's
+    line search can see its own objective; a scalar batch-sum cannot be
+    decomposed from outside). Brent-mode line search only.
+    Default False for reference parity.
+
     ``verbose`` mirrors the reference (owlqn.py:128-129, 183-185,
     195-197): >=1 prints initial/final f and iterations, >1 adds a
-    per-iteration f / ||dx|| line.
+    per-iteration f / ||dx|| line (batch mode only).
     """
     verbose = int(verbose)
     assert x0.ndim == 2
+    if per_sample:
+        if line_search != "brent":
+            raise ValueError("per_sample=True supports line_search='brent'")
+        return _owlqn_per_sample(fun, x0, alpha, lr, max_iter, xtol,
+                                 history_size, ls_maxiter, return_iters)
     if ls_options is None:
         ls_options = {}
     if line_search not in ("brent", "backtrack", "none"):

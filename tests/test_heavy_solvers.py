@@ -175,6 +175,45 @@ def test_interior_point_per_sample_stopping(rng):
         np.testing.assert_allclose(f_b, f_i, rtol=1e-3)
 
 
+def test_interior_point_adaptive_schedule_beats_reference(rng):
+    """barrier_schedule='adaptive' (VERDICT r2 item 6): at EQUAL Newton
+    iteration budgets the complementarity-proportional schedule must
+    reach a materially smaller relative objective gap than the
+    reference's step-coupled decay, and get under 1e-5 where the
+    reference stalls ~1e-3. Run in x64 so the comparison measures the
+    schedules, not f32 rounding."""
+    import jax
+    from lasso_tpu.linalg import lipschitz_constant
+    from lasso_tpu.linear.solvers import ista
+
+    x_np = rng.standard_normal((64, 32))
+    W_np = rng.standard_normal((32, 128))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+    with jax.enable_x64():
+        x, W = jnp.asarray(x_np), jnp.asarray(W_np)
+        L = lipschitz_constant(W)
+        z_star = ista(x, jnp.zeros((64, 128)), W, alpha, lr=float(1 / L),
+                      maxiter=30000, tol=1e-15, use_pallas=False)
+        f_star = lasso_objective(x, W, z_star, alpha)
+
+        z_ref, _, k_ref = interior_point(x, W, alpha=alpha, maxiter=30,
+                                         tol=1e-12, return_iters=True)
+        z_ad, _, k_ad = interior_point(x, W, alpha=alpha, maxiter=30,
+                                       tol=1e-12, return_iters=True,
+                                       barrier_schedule="adaptive")
+    gap_ref = (lasso_objective(x, W, z_ref, alpha) - f_star) / abs(f_star)
+    gap_ad = (lasso_objective(x, W, z_ad, alpha) - f_star) / abs(f_star)
+    assert int(k_ad) <= int(k_ref)          # equal budget (both hit cap)
+    assert gap_ad < 1e-5, gap_ad
+    assert gap_ad < gap_ref / 10, (gap_ad, gap_ref)
+
+    with pytest.raises(ValueError):
+        interior_point(x_np.astype(np.float32),
+                       W_np.astype(np.float32), alpha=alpha,
+                       barrier_schedule="mehrotra")
+
+
 def test_interior_point_cg_matches_cholesky(fista_solution):
     """The matrix-free normal-equations CG path (kkt_solver='cg') must
     reach the same solution quality as the reference-style [B,D,D]

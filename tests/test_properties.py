@@ -42,6 +42,74 @@ def test_cd_batch_equals_per_sample(rng):
                                    np.asarray(z_i[0]), atol=1e-4)
 
 
+def test_owlqn_per_sample_batch_equals_independent(rng):
+    """owlqn(per_sample=True) on an [N] batch must equal N independent
+    per-sample solves (VERDICT r2 item 9): each row gets its own L-BFGS
+    memory, line-search step, and ||dx|| stop. Run under x64: near-tied
+    golden-section branch decisions flip on f32 ulp noise between batch
+    shapes and amplify chaotically over 40 quasi-Newton iterations."""
+    import jax
+    from lasso_tpu.nonlinear import owlqn
+    with jax.enable_x64():
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((5, 10)))
+        z0 = jnp.asarray(
+            np.random.default_rng(1).standard_normal((5, 8)) * 0.1)
+        Wd = jnp.asarray(
+            np.random.default_rng(2).standard_normal((8, 10)) * 0.4)
+        # per-row loss contract: [B, K] -> [B]
+        fun = lambda z: 0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x),
+                                      axis=1)
+        z_batch, k_batch = owlqn(fun, z0, alpha=0.1, max_iter=40,
+                                 xtol=1e-8, per_sample=True,
+                                 return_iters=True)
+        assert k_batch.shape == (5,)
+        for i in range(5):
+            x_i = x[i:i + 1]
+            fun_i = lambda z: 0.5 * jnp.sum(
+                jnp.square(jnp.tanh(z) @ Wd - x_i), axis=1)
+            z_i = owlqn(fun_i, z0[i:i + 1], alpha=0.1, max_iter=40,
+                        xtol=1e-8, per_sample=True)
+            np.testing.assert_allclose(np.asarray(z_batch[i]),
+                                       np.asarray(z_i[0]), atol=1e-6)
+
+        # and per-sample mode reaches at-least-as-good total objective as
+        # batch mode (the batch-shared step is the constrained version)
+        fun_s = lambda z: 0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x))
+        z_b = owlqn(fun_s, z0, alpha=0.1, max_iter=40, xtol=1e-8)
+
+        def obj_total(z):
+            return float(0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x))
+                         + 0.1 * jnp.sum(jnp.abs(z)))
+
+        assert obj_total(z_batch) <= obj_total(z_b) * (1 + 1e-6)
+
+
+def test_irb_per_sample_batch_equals_independent(rng):
+    import jax
+    from lasso_tpu.nonlinear import iterative_ridge_bfgs
+    with jax.enable_x64():
+        x = jnp.asarray(np.random.default_rng(3).standard_normal((5, 10)))
+        z0 = jnp.asarray(
+            np.random.default_rng(4).standard_normal((5, 8)) * 0.2)
+        Wd = jnp.asarray(
+            np.random.default_rng(5).standard_normal((8, 10)) * 0.4)
+        fun = lambda z: 0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x),
+                                      axis=1)
+        z_batch, k_batch = iterative_ridge_bfgs(
+            fun, z0, alpha=0.1, maxiter=40, xtol=1e-8, per_sample=True,
+            return_iters=True)
+        assert k_batch.shape == (5,)
+        for i in range(5):
+            x_i = x[i:i + 1]
+            fun_i = lambda z: 0.5 * jnp.sum(
+                jnp.square(jnp.tanh(z) @ Wd - x_i), axis=1)
+            z_i = iterative_ridge_bfgs(fun_i, z0[i:i + 1], alpha=0.1,
+                                       maxiter=40, xtol=1e-8,
+                                       per_sample=True)
+            np.testing.assert_allclose(np.asarray(z_batch[i]),
+                                       np.asarray(z_i[0]), atol=1e-5)
+
+
 @pytest.mark.parametrize("criterion", [0, 1, 2, 3, 4])
 def test_gpsr_all_stop_criteria(rng, criterion):
     x, W, alpha = make_problem(rng)
