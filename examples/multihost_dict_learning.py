@@ -49,6 +49,11 @@ def main(argv=None):
     p.add_argument("--maxiter", type=int, default=50,
                    help="FISTA iterations per E-step")
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--constrained", action="store_true",
+                   help="unit-norm-atom training (sequential or block "
+                        "M-step) instead of the unconstrained ridge")
+    p.add_argument("--dict-update", default="sequential",
+                   choices=("sequential", "block"))
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -78,23 +83,33 @@ def main(argv=None):
     start, end = process_local_batch(args.batch)
     x_local = X_global[start:end]
 
+    if args.constrained:
+        W0 /= np.linalg.norm(W0, axis=0, keepdims=True)
     step, (x_sh, w_sh) = make_train_step(
         mesh, alpha=args.alpha, lambd=1e-2, algorithm="ista",
         shard_atoms=(args.model_parallel > 1),
+        constrained=args.constrained, dict_update=args.dict_update,
         maxiter=args.maxiter, tol=0.0)
+    if args.constrained:
+        # identical key on every process (the degenerate-atom RNG)
+        keys = jax.random.split(jax.random.PRNGKey(args.seed),
+                                args.steps + 1)
+        run = lambda x, W, i: step(x, W, keys[i])
+    else:
+        run = lambda x, W, i: step(x, W)
 
     x = jax.make_array_from_process_local_data(
         x_sh, x_local, (args.batch, args.dim))
     W = jax.make_array_from_process_local_data(w_sh, W0, W0.shape)
 
     # warmup / compile
-    W_c, loss = step(x, W)
+    W_c, loss = run(x, W, 0)
     jax.block_until_ready((W_c, loss))
 
     t0 = time.perf_counter()
     losses = []
-    for _ in range(args.steps):
-        W_c, loss = step(x, W_c)
+    for i in range(args.steps):
+        W_c, loss = run(x, W_c, i + 1)
         losses.append(loss)
     jax.block_until_ready(W_c)
     dt = time.perf_counter() - t0

@@ -45,6 +45,15 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
     per-sample active-set logic moves in-kernel, so fusion preserves the
     reference's stopping semantics exactly (inactive samples are frozen).
     ``use_pallas``: 'auto' / True / False as in :func:`ista`.
+
+    ``kernel_precision``: 'f32' (default), 'bf16' (native MXU gather,
+    ~1.6x, bf16-grade codes), or 'mixed' — precision continuation for
+    CD: the first ~75% of the budget runs bf16; at the phase switch
+    ``b`` is REBUILT from the invariant ``b = x W + z (I - W^T W)`` in
+    f32 (repairing the bf16 phase's accumulated rank-1 rounding in one
+    pair of matmuls) and every row is reactivated; the f32 tail then
+    re-polishes the largest-error coordinates and re-applies the exact
+    stopping test. Requires the fused path (plain XLA runs f32).
     """
     from lasso_tpu.ops.fused_cd import fused_cd_steps, supports_fused_cd
 
@@ -107,25 +116,45 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
 
     T = max(1, int(fuse_steps)) if fused else 1
 
+    if kernel_precision not in ("f32", "bf16", "mixed"):
+        raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
+                         f"'mixed', got {kernel_precision!r}")
+
     state = (z0, b0, jnp.ones((batch_size,), dtype=bool), jnp.asarray(0))
 
     if fused and T > 1:
-        def cond_f(state):
-            _, _, act, it = state
-            return jnp.logical_and(jnp.any(act[:, 0] > 0),
-                                   it + T <= maxiter)
+        def make_f(kp, limit):
+            def cond_f(state):
+                _, _, act, it = state
+                return jnp.logical_and(jnp.any(act[:, 0] > 0),
+                                       it + T <= limit)
 
-        def body_f(state):
-            z, b, act, it = state
-            b_new, z_new, act_new = fused_cd_steps(
-                b, z, act, S, alpha, tol_k, steps=T,
-                interpret=interpret, kernel_precision=kernel_precision)
-            return (z_new, b_new, act_new, it + T)
+            def body_f(state):
+                z, b, act, it = state
+                b_new, z_new, act_new = fused_cd_steps(
+                    b, z, act, S, alpha, tol_k, steps=T,
+                    interpret=interpret, kernel_precision=kp)
+                return (z_new, b_new, act_new, it + T)
 
-        z_c, b_c, act_c, it_c = lax.while_loop(
-            cond_f, body_f,
-            (z0, b0, jnp.ones((batch_size, 1), jnp.float32),
-             jnp.asarray(0)))
+            return cond_f, body_f
+
+        init_f = (z0, b0, jnp.ones((batch_size, 1), jnp.float32),
+                  jnp.asarray(0))
+        if kernel_precision == "mixed":
+            bulk = (max(1, (3 * maxiter) // 4) // T) * T
+            c1, b1 = make_f("bf16", bulk)
+            z_c, b_c, act_c, it_c = lax.while_loop(c1, b1, init_f)
+            # phase switch: rebuild b from the invariant in f32 and
+            # reactivate every row — the bf16 phase's active-set
+            # decisions and accumulated b rounding are both discarded
+            b_c = jnp.matmul(x, W, precision=prec) \
+                + jnp.matmul(z_c, S, precision=prec)
+            st = (z_c, b_c, jnp.ones((batch_size, 1), jnp.float32), it_c)
+            c2, b2 = make_f("f32", maxiter)
+            z_c, b_c, act_c, it_c = lax.while_loop(c2, b2, st)
+        else:
+            c, b_fn = make_f(kernel_precision, maxiter)
+            z_c, b_c, act_c, it_c = lax.while_loop(c, b_fn, init_f)
         state = (z_c, b_c, act_c[:, 0] > 0, it_c)
 
     z, b, _, it = lax.while_loop(cond, body, state)
