@@ -127,15 +127,37 @@ def test_mixed_support_recovery_matches_f32():
 
 
 def test_mixed_tail_blocks_schedule():
-    """The ~25%-of-blocks f32 tail (minimum 1, always >= 1 bf16 block
-    unless there is only one block)."""
+    """The ~12.5%-of-blocks f32 tail (minimum 1, always >= 1 bf16 block
+    unless there is only one block). One S-iteration f32 block contracts
+    a bf16-grade iterate onto the f32 trajectory even at converged
+    budgets (see _mixed_tail_blocks docstring)."""
     from lasso_tpu.linear.solvers.ista import _mixed_tail_blocks
     assert _mixed_tail_blocks(1) == 1
     assert _mixed_tail_blocks(2) == 1
     assert _mixed_tail_blocks(4) == 1
-    assert _mixed_tail_blocks(8) == 2
-    assert _mixed_tail_blocks(16) == 4
+    assert _mixed_tail_blocks(8) == 1
+    assert _mixed_tail_blocks(16) == 2
+    assert _mixed_tail_blocks(64) == 8
     for n in range(1, 64):
         t = _mixed_tail_blocks(n)
         assert 1 <= t <= n
         assert n == 1 or t < n
+
+
+def test_mixed_converged_budget_reaches_f32_floor():
+    """At a budget long enough to hit the f32 rounding floor, the mixed
+    run's gap-to-x64-optimum must equal the all-f32 run's — the direct
+    certification that one f32 tail block fully contracts the bf16
+    phase's rounding."""
+    n, d, k, alpha, lr = 16, 128, 256, 0.3, 0.08
+    x, W, z0 = _problem(99, n, d, k, alpha)
+    f_star, _ = _f_star_x64(x, W, alpha, lr, maxiter=20000)
+
+    kw = dict(lr=lr, maxiter=800, tol=0.0, use_pallas=True, fuse_steps=25)
+    gap_f = (_obj(x, W, alpha, ista(x, z0, W, alpha, **kw))
+             - f_star) / abs(f_star)
+    gap_m = (_obj(x, W, alpha, ista(x, z0, W, alpha,
+                                    kernel_precision="mixed", **kw))
+             - f_star) / abs(f_star)
+    assert gap_f < 1e-7, "budget must reach the f32 floor"
+    assert gap_m <= gap_f * 1.10 + 1e-10, (gap_m, gap_f)
