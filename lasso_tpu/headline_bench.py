@@ -10,12 +10,16 @@ disables early exit) so the number measures steady-state solver
 throughput.
 
 Precision: ``kernel_precision='mixed'`` — precision continuation (bf16
-bulk + f32 split-float tail), validated to reach the SAME final
-objective as the all-f32 run at this fixed budget across the
-tests/test_mixed_precision.py matrix (x64-anchored gap-to-optimum,
-support recovery, restart composition). The all-f32 split-float path is
-already compute-bound at MXU saturation, so fewer full-precision passes
-is the only remaining lever — this is it (VERDICT r2 item 1).
+bulk + f32 split-float tail). TPU-measured error model at this config
+(benchmarks/mixed_tpu_validation.py, 2026-08-17): the mixed run's final
+objective is +2.5e-6 relative above the all-f32 run's at this budget,
+against the all-f32 run's own ~4.7e-5 convergence gap-to-optimum —
+i.e. solution quality within ~5% of all-f32 (and ~10x closer than
+bf16-only's +2.5e-5). Full envelope: tests/test_mixed_precision.py
+(x64-anchored gaps, support recovery, restart composition, tail dial).
+The all-f32 split-float path is already compute-bound at MXU
+saturation, so fewer full-precision passes is the only remaining
+lever — this is it (VERDICT r2 item 1).
 
 Baseline: the reference (rfeinman/pytorch-lasso) ISTA measured on the
 dev container's CPU (torch 2.13, fp32, 1 core — no GPU there):
@@ -60,8 +64,8 @@ def main():
     lr = float(1.0 / L)
 
     # Pallas-fused multi-step FISTA with precision continuation: bf16
-    # bulk + f32 tail, f32-grade final objective (the validated headline
-    # path; see module docstring)
+    # bulk + f32 tail; solution quality within ~5% of the all-f32 run's
+    # gap-to-optimum at this budget (see module docstring)
     run = jax.jit(lambda x, z0, W: ista(
         x, z0, W, ALPHA, lr=lr, maxiter=ITERS, tol=0.0,
         kernel_precision="mixed"))
@@ -97,8 +101,8 @@ def main():
 
     print(json.dumps({
         "metric": ("batched FISTA iterations/s per chip (N=16384, "
-                   "512->2048, mixed-precision continuation, f32-grade "
-                   "final objective)"),
+                   "512->2048, mixed-precision continuation, "
+                   "gap-to-optimum within ~5% of all-f32)"),
         "value": round(iters_per_s, 2),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 2),

@@ -73,27 +73,45 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
 
 
 def _mixed_tail_blocks(n_blocks):
-    """f32-tail length for the 'mixed' precision schedule: ~12.5% of the
-    blocks, at least 1, always leaving at least 1 bf16 block. A single
-    block cannot be split: it runs f32 (tail = whole budget).
+    """Default f32-tail length for the 'mixed' precision schedule:
+    ~12.5% of the blocks, at least 1, always leaving at least 1 bf16
+    block. A single block cannot be split: it runs f32 (tail = whole
+    budget).
 
-    One S-iteration f32 block (S ~ 25-32) is enough to contract a
-    bf16-grade iterate back onto the f32 trajectory even at
-    fully-converged budgets (measured: gap-to-x64-optimum at the 5e-9
-    f32 floor is identical for 1-, 2- and 8-block tails at 800 iters;
-    the r2 schedule reserved 25% out of caution, costing ~12% headline
-    throughput). test_mixed_precision.py re-validates the whole matrix
-    against this schedule."""
+    The tail contracts the bf16 phase's rounding at FISTA's linear rate
+    (~0.96/iter on the test problems), so TAIL LENGTH sets the mixed
+    error floor: 1/8 of a 200-iter budget (25 f32 iters) floors at
+    ~1e-6-class relative objective above the all-f32 run — measured on
+    real TPU hardware at the headline config (+2.5e-6 at 200 iters,
+    +1.0e-6 at 800; bf16-only floors at ~2.3e-5). At the headline fixed
+    budget the all-f32 run's own convergence gap (~5e-5) dominates, so
+    the mixed solution's gap-to-optimum is within ~5% of f32's while
+    recovering ~87.5% of bf16 throughput. Callers needing a lower floor
+    pass ``mixed_tail`` (in blocks) explicitly; no tail short of
+    mostly-f32 reaches the f32 rounding floor at converged budgets.
+    Validation matrix: tests/test_mixed_precision.py (interpret-mode
+    kernels emulate Mosaic bf16 dot semantics via lax.reduce_precision,
+    cross-checked against TPU 2026-08-17)."""
     if n_blocks <= 1:
         return n_blocks
     return min(n_blocks - 1, max(1, n_blocks // 8))
 
 
+def _resolve_mixed_tail(mixed_tail, n_blocks):
+    """Resolve the ista(mixed_tail=...) argument to a block count."""
+    if mixed_tail == "auto":
+        return _mixed_tail_blocks(n_blocks)
+    t = int(mixed_tail)
+    if t < 1:
+        raise ValueError(f"mixed_tail must be >= 1 block, got {mixed_tail}")
+    return min(n_blocks, t)
+
+
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
-         kernel_precision="f32", fuse_steps="auto", axis_name=None,
-         per_sample_tol=False, restart=False, verbose=False,
+         kernel_precision="f32", fuse_steps="auto", mixed_tail="auto",
+         axis_name=None, per_sample_tol=False, restart=False, verbose=False,
          return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
@@ -107,13 +125,23 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     False always uses the plain XLA step.
 
     ``kernel_precision``: 'f32' (bf16x3 split-float, reference-accurate,
-    default), 'bf16' (native MXU passes, ~2.5x faster, ~2e-6 relative
-    end-to-end objective error), or 'mixed' — precision continuation:
-    the first ~75%% of the iteration budget runs bf16 and the tail runs
-    f32, which contracts the bf16-grade iterate back onto the f32
-    trajectory (FISTA forgets its history geometrically). Near-bf16
-    throughput at f32-grade final accuracy; requires the fused
-    multi-step path.
+    default), 'bf16' (native MXU passes, ~2.5x faster, floors at
+    ~2.3e-5 relative objective above the optimum — TPU-measured at the
+    headline config), or 'mixed' — precision continuation: the bulk of
+    the iteration budget runs bf16 and the final ``mixed_tail`` fused
+    blocks (default ~12.5%%, min 1) run f32, contracting the bf16
+    phase's rounding at FISTA's linear rate. The default tail floors at
+    ~1e-6-class relative objective above the all-f32 run; at the
+    headline fixed budget the all-f32 run's own convergence gap (~5e-5)
+    dominates, so solution quality is within ~5%% of f32's at near-bf16
+    throughput (see _mixed_tail_blocks for the measured error model).
+    Requires the fused multi-step path.
+
+    ``mixed_tail``: f32-tail length for 'mixed', in fused blocks (each
+    ``fuse_steps`` iterations). 'auto' = max(1, n_blocks // 8); pass a
+    larger int to buy a lower error floor at reduced throughput (each
+    extra block multiplies the floor by roughly the per-block
+    contraction factor, ~0.96^S).
 
     ``fuse_steps``: number of FISTA iterations fused per kernel invocation
     (the iterates stay in VMEM between sub-steps, amortizing the z/z_prev
@@ -338,7 +366,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 # precision continuation composes with restart: the
                 # per-row t-vector carries across the phase switch
                 n_blocks = maxiter // S
-                tail_blocks = _mixed_tail_blocks(n_blocks)
+                tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
                 c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
                 state = lax.while_loop(c1, b1, state)
                 state = state[:4] + (jnp.asarray(False),)
@@ -394,12 +422,12 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # geometrically, so the bulk of the budget can run in native
             # bf16 (2x the split-float pass count saved) as long as the
             # tail runs f32 — the f32 blocks contract the bf16-grade
-            # iterate onto the f32 trajectory. ~12.5% of the blocks
-            # (minimum 1) are reserved for the f32 tail; one S-iteration
-            # block is enough even at converged budgets (see
-            # _mixed_tail_blocks).
+            # iterate onto the f32 trajectory at FISTA's linear rate.
+            # ~12.5% of the blocks (minimum 1) are reserved for the f32
+            # tail by default; the tail length sets the mixed error
+            # floor (see _mixed_tail_blocks for the measured model).
             n_blocks = maxiter // S
-            tail_blocks = _mixed_tail_blocks(n_blocks)
+            tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
             c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
             st = lax.while_loop(c1, b1, init)
             # the bf16 phase's convergence statistic is bf16-grade: drop

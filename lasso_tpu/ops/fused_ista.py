@@ -46,12 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 from lasso_tpu.ops.shrink import soft_threshold
 
 
-def _split_bf16(a):
+def _split_bf16(a, emulate=False):
     """Split f32 into bf16 high + bf16 residual parts (Mosaic/in-kernel).
 
     Plain dtype casts: Mosaic lowers these as real conversions. Do NOT use
     this variant in XLA-land (see :func:`_split_bf16_xla`).
+
+    ``emulate=True`` (interpret mode only): the same split via
+    ``lax.reduce_precision``, which XLA CPU cannot elide — the parts stay
+    f32-dtyped but carry bf16-grid values (see :func:`_round_bf16`).
     """
+    if emulate:
+        hi = _round_bf16(a)
+        lo = _round_bf16(a - hi)
+        return hi, lo
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -85,6 +93,24 @@ def _dot_nn(a, b):
         preferred_element_type=jnp.float32)
 
 
+def _round_bf16(a):
+    """Round f32 values onto the bf16 grid, keeping f32 dtype.
+
+    Interpret-mode TPU-numerics emulation: on real hardware Mosaic's
+    DEFAULT dot precision truncates f32 dot operands to one bf16 pass
+    (f32 accumulate). In interpret mode the same dot runs through XLA
+    CPU at full f32 — and plain ``astype(bfloat16)`` round-trips are
+    ELIDED under XLA's default excess-precision rules — so without this
+    the 'bf16' and 'f32' kernel modes execute identical f32 arithmetic
+    on CPU and precision tests validate nothing. ``lax.reduce_precision``
+    is an explicit rounding op the compiler must honor; applying it to
+    dot operands reproduces MXU semantics (bf16-rounded operands, f32
+    accumulate) up to dot ordering. Mosaic cannot lower
+    reduce_precision, so this path is only built when ``interpret``.
+    """
+    return jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+
+
 def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
     lr = scal_ref[0, 0]
     thresh = scal_ref[0, 1]   # alpha * lr
@@ -100,28 +126,35 @@ def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
 
 
 def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
-                       z_out_ref, delta_ref):
+                       z_out_ref, delta_ref, emulate=False):
     z = z_ref[:]
     # momentum point formed in-register: y = z + mom * (z - z_prev)
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w = w_ref[:]
-    resid = _dot_nt(y, w) - x_ref[:]
-    grad = _dot_nn(resid, w)
+    if emulate:  # interpret only: round the DOT OPERANDS (and only
+        # them) the way Mosaic's DEFAULT dot precision does on hardware;
+        # y itself stays f32 for the epilogue
+        w_d = _round_bf16(w)
+        resid = _dot_nt(_round_bf16(y), w_d) - x_ref[:]
+        grad = _dot_nn(_round_bf16(resid), w_d)
+    else:
+        resid = _dot_nt(y, w) - x_ref[:]
+        grad = _dot_nn(resid, w)
     _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
 
 
 def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
-                      z_out_ref, delta_ref):
+                      z_out_ref, delta_ref, emulate=False):
     z = z_ref[:]
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w_hi = w_hi_ref[:]
     w_lo = w_lo_ref[:]
 
-    y_hi, y_lo = _split_bf16(y)
+    y_hi, y_lo = _split_bf16(y, emulate)
     resid = (_dot_nt(y_hi, w_hi) + _dot_nt(y_hi, w_lo)
              + _dot_nt(y_lo, w_hi)) - x_ref[:]
 
-    r_hi, r_lo = _split_bf16(resid)
+    r_hi, r_lo = _split_bf16(resid, emulate)
     grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
             + _dot_nn(r_lo, w_hi))
     _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
@@ -203,11 +236,11 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
 
     if kernel_precision == "f32":
         w_hi, w_lo = _split_bf16_xla(weight)
-        kernel = _fista_kernel_f32
+        kernel = functools.partial(_fista_kernel_f32, emulate=interpret)
         w_args = (w_hi, w_lo)
         w_specs = [full_w(), full_w()]
     elif kernel_precision == "bf16":
-        kernel = _fista_kernel_bf16
+        kernel = functools.partial(_fista_kernel_bf16, emulate=interpret)
         w_args = (weight,)
         w_specs = [full_w()]
     else:
@@ -242,7 +275,8 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     return z_next, delta[0, 0]
 
 
-def _make_multistep_kernel(steps, split_float, restart=False):
+def _make_multistep_kernel(steps, split_float, restart=False,
+                           emulate=False):
     """Build an S-step fused FISTA kernel body.
 
     FISTA is row-parallel over the batch: z_next for a tile depends only on
@@ -293,12 +327,15 @@ def _make_multistep_kernel(steps, split_float, restart=False):
             else:
                 y = z + scal_ref[s, 2] * (z - zp)
             if split_float:
-                y_hi, y_lo = _split_bf16(y)
+                y_hi, y_lo = _split_bf16(y, emulate)
                 resid = (_dot_nt(y_hi, w_hi) + _dot_nt(y_hi, w_lo)
                          + _dot_nt(y_lo, w_hi)) - x
-                r_hi, r_lo = _split_bf16(resid)
+                r_hi, r_lo = _split_bf16(resid, emulate)
                 grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
                         + _dot_nn(r_lo, w_hi))
+            elif emulate:  # interpret only: Mosaic bf16 dot semantics
+                resid = _dot_nt(_round_bf16(y), _round_bf16(w)) - x
+                grad = _dot_nn(_round_bf16(resid), _round_bf16(w))
             else:
                 resid = _dot_nt(y, w) - x
                 grad = _dot_nn(resid, w)
@@ -389,7 +426,7 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
                          f"{kernel_precision!r}")
 
     kernel = _make_multistep_kernel(steps, kernel_precision == "f32",
-                                    restart=restart)
+                                    restart=restart, emulate=interpret)
 
     in_specs = [smem_in, tile_d, tile_k(), tile_k()] + w_specs
     in_args = [scal, x, z, z_prev, *w_args]

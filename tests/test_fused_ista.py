@@ -30,13 +30,18 @@ def test_supports_fused_step(rng):
 
 @pytest.mark.parametrize("kp", ["f32", "bf16"])
 def test_fused_step_matches_reference(rng, kp):
+    # interpret mode emulates Mosaic dot semantics (bf16-rounded
+    # operands): f32 split-float is ~1e-5-grade per step, native bf16
+    # carries ~4e-3-relative operand rounding
     x, z, zp, W = make_problem(rng)
     lr, alpha, mom = 0.3, 0.05, 0.6
     z1, d1 = fused_fista_step(x, z, zp, W, lr, alpha, mom, block_n=8,
                               interpret=True, kernel_precision=kp)
     z2, d2 = fista_step_reference(x, z, zp, W, lr, alpha, mom)
-    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
-    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
+    atol = 1e-5 if kp == "f32" else 5e-3
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=atol)
+    np.testing.assert_allclose(float(d1), float(d2),
+                               rtol=1e-5 if kp == "f32" else 5e-2)
 
 
 def test_fused_step_uneven_block(rng):
@@ -266,7 +271,9 @@ def test_mixed_precision_continuation(rng):
                use_pallas=True, fuse_steps=25, kernel_precision="mixed")
     gap_f = (obj(z_f) - f_star) / f_star
     gap_m = (obj(z_m) - f_star) / f_star
-    assert gap_m <= gap_f * 1.05 + 1e-7
+    # honest envelope under emulated bf16 (see test_mixed_precision.py's
+    # module docstring for the measured error model)
+    assert gap_m <= 1.5 * gap_f + 2e-6, (gap_m, gap_f)
 
     with pytest.raises(ValueError):
         ista(x, z0, W, alpha, lr=lr, kernel_precision="tf32")
@@ -280,4 +287,4 @@ def test_mixed_precision_continuation(rng):
                 kernel_precision="mixed")
     gap_rf = (obj(z_rf) - f_star) / f_star
     gap_rm = (obj(z_rm) - f_star) / f_star
-    assert gap_rm <= gap_rf * 1.1 + 1e-7
+    assert gap_rm <= 1.5 * gap_rf + 2e-6, (gap_rm, gap_rf)

@@ -1,20 +1,36 @@
 """Validation matrix for kernel_precision='mixed' (VERDICT r2 item 1).
 
-'mixed' runs the bulk of the FISTA budget in native-bf16 kernel passes and
-the tail (~25% of the fused blocks) in f32 split-float. The claim promoted
-to the headline benchmark is: **at a fixed iteration budget, the mixed run
-reaches the same final objective as the all-f32 run** (within f32
-rounding), because FISTA forgets its history geometrically — the f32 tail
-contracts the bf16-grade iterate back onto the f32 trajectory.
+'mixed' runs the bulk of the FISTA budget in native-bf16 kernel passes
+and the final ``mixed_tail`` fused blocks (default ~12.5%, min 1) in f32
+split-float. The honest error model (TPU-measured at the headline config
+2026-08-17, reproduced by the interpret-mode emulation below):
 
-This file certifies that claim across problem sizes, penalties, stopping
-modes (tol=0 fixed-budget and tol>0 convergence mode), and composition
-with per-row adaptive restart — with the optimum anchored by an x64
-reference solve so "gap-to-optimum" is measured against a trustworthy
-f64 ground truth rather than against another f32 run.
+* bf16-only floors at ~2.3e-5 relative objective above the optimum.
+* The f32 tail contracts that floor at FISTA's linear rate (~0.96/iter
+  on these problems), so TAIL LENGTH sets the mixed floor: the default
+  1/8-of-budget tail floors at ~1e-6-class relative objective above the
+  all-f32 run (it does NOT reach the f32 rounding floor at converged
+  budgets — no tail short of mostly-f32 does).
+* At fixed budgets where the all-f32 run's own convergence gap dominates
+  (the headline-bench regime: gap ~5e-5 at 200 iters), the mixed run's
+  gap-to-optimum is within ~50% of f32's (typically ~5%), and always
+  at or below the bf16-only run's.
 
-All fused runs use interpret-mode Pallas on the forced-CPU backend
-(tests/conftest.py), i.e. the exact kernel arithmetic, minus Mosaic.
+The claims certified here: the gap envelope above, support recovery,
+stopping semantics under tol>0, composition with per-row restart, the
+``mixed_tail`` dial's monotonicity, and the tail-vs-bf16 ordering.
+
+IMPORTANT (what these tests actually exercise): Mosaic's DEFAULT dot
+precision truncates f32 dot operands to one bf16 pass on real hardware,
+but in interpret mode the same dots run through XLA CPU at full f32 —
+and plain bf16 cast round-trips are elided under XLA's default
+excess-precision rules. The kernels therefore carry an interpret-only
+``emulate`` path using ``lax.reduce_precision`` (which the compiler must
+honor), making CPU runs reproduce TPU bf16 numerics up to dot ordering.
+Before that fix (round 3) this file validated schedule plumbing only.
+TPU cross-check at 16384x(512->2048): mixed-f32 relative objective
++2.5e-6 at 200 iters / +1.0e-6 at 800; bf16-f32 +2.5e-5 / +2.3e-5
+(benchmarks/mixed_tpu_validation.py).
 """
 
 import numpy as np
@@ -67,33 +83,42 @@ MATRIX = [
 
 
 @pytest.mark.parametrize("n,d,k,alpha,restart", MATRIX)
-def test_mixed_matches_f32_final_objective(n, d, k, alpha, restart):
+def test_mixed_gap_envelope_fixed_budget(n, d, k, alpha, restart):
     """Fixed budget (the headline-bench regime, tol=0): the mixed run's
-    gap-to-(x64)-optimum must match the all-f32 fused run's within 10%
-    slack + f32 rounding floor."""
+    gap-to-(x64)-optimum stays within the measured envelope of the
+    all-f32 fused run's (1.5x + the ~1e-6-class mixed floor), and at or
+    below the bf16-only run's (the tail must buy accuracy).
+
+    Measured (emulated bf16, this matrix): gap ratios mixed/f32 of
+    1.03/1.38/1.06/1.07/0.93 — the 1.38 is the alpha=0.3 case whose
+    gaps sit near the mixed floor."""
     x, W, z0 = _problem(n + k, n, d, k, alpha)
     lr = 0.08
-    maxiter = 200  # auto fuse picks S=25, 8 blocks, 2-block f32 tail
+    maxiter = 200  # auto fuse picks S=25, 8 blocks, 1-block f32 tail
     f_star, _ = _f_star_x64(x, W, alpha, lr)
 
     kw = dict(lr=lr, maxiter=maxiter, tol=0.0, use_pallas=True,
               fuse_steps=25, restart=restart)
     z_f = ista(x, z0, W, alpha, **kw)
     z_m = ista(x, z0, W, alpha, kernel_precision="mixed", **kw)
+    z_b = ista(x, z0, W, alpha, kernel_precision="bf16", **kw)
 
     gap_f = (_obj(x, W, alpha, z_f) - f_star) / abs(f_star)
     gap_m = (_obj(x, W, alpha, z_m) - f_star) / abs(f_star)
+    gap_b = (_obj(x, W, alpha, z_b) - f_star) / abs(f_star)
     assert gap_m >= -1e-7, "gap below the x64 optimum: anchor is wrong"
-    # f32 rounding floor ~1e-7 relative; 'same final objective' claim
-    assert gap_m <= gap_f * 1.10 + 2e-7, (gap_m, gap_f)
+    assert gap_m <= 1.5 * gap_f + 2e-6, (gap_m, gap_f)
+    assert gap_m <= gap_b + 1e-7, (gap_m, gap_b)
 
 
 @pytest.mark.parametrize("alpha", [0.05, 0.3])
 def test_mixed_convergence_mode_tol_positive(alpha):
     """tol>0 (convergence mode): the mixed bf16 phase's convergence
     statistic is discarded, so the run must never stop before the f32
-    tail has run, and the final objective must match the all-f32
-    convergence run's gap within the same envelope."""
+    tail has run, and the final gap must stay within the fixed-budget
+    envelope (measured: 1.12x at alpha=0.05 where convergence
+    dominates; 6.2e-7 vs 1.1e-7 at alpha=0.3 where the mixed floor
+    dominates)."""
     n, d, k = 16, 128, 256
     x, W, z0 = _problem(77, n, d, k, alpha)
     lr, tol = 0.08, 1e-6
@@ -106,32 +131,36 @@ def test_mixed_convergence_mode_tol_positive(alpha):
 
     gap_f = (_obj(x, W, alpha, z_f) - f_star) / abs(f_star)
     gap_m = (_obj(x, W, alpha, z_m) - f_star) / abs(f_star)
-    assert gap_m <= gap_f * 1.10 + 2e-7, (gap_m, gap_f)
+    assert gap_m <= 1.5 * gap_f + 1e-6, (gap_m, gap_f)
     # stopping never earlier than a block boundary at/after the bf16 bulk
     assert int(k_m) % 25 == 0 or int(k_m) == 400
 
 
 def test_mixed_support_recovery_matches_f32():
-    """The serving-relevant property: the support (nonzero pattern) of the
-    mixed solution must agree with the f32 run's at a sparse alpha."""
+    """The serving-relevant property: the support (nonzero pattern) of
+    the mixed solution agrees with the f32 run's at a sparse alpha
+    except boundary coordinates (measured 0.15% disagreement under
+    emulated bf16), and the codes agree to ~1e-2 absolute (the bf16
+    phase's iterate-level rounding, partially contracted by the tail —
+    NOT f32-trajectory equality, which mixed never promises)."""
     n, d, k = 16, 128, 256
     x, W, z0 = _problem(5, n, d, k, 0.3)
     kw = dict(lr=0.08, maxiter=200, tol=0.0, use_pallas=True,
               fuse_steps=25)
     z_f = np.asarray(ista(x, z0, W, 0.3, **kw))
     z_m = np.asarray(ista(x, z0, W, 0.3, kernel_precision="mixed", **kw))
-    # supports agree except possibly coordinates at the shrink boundary
     disagree = np.mean((z_f != 0) != (z_m != 0))
     assert disagree < 0.01, disagree
-    np.testing.assert_allclose(z_m, z_f, atol=5e-5)
+    np.testing.assert_allclose(z_m, z_f, atol=3e-2)
 
 
 def test_mixed_tail_blocks_schedule():
-    """The ~12.5%-of-blocks f32 tail (minimum 1, always >= 1 bf16 block
-    unless there is only one block). One S-iteration f32 block contracts
-    a bf16-grade iterate onto the f32 trajectory even at converged
-    budgets (see _mixed_tail_blocks docstring)."""
-    from lasso_tpu.linear.solvers.ista import _mixed_tail_blocks
+    """The default ~12.5%-of-blocks f32 tail (minimum 1, always >= 1
+    bf16 block unless there is only one block). The tail length is an
+    accuracy/throughput dial — see the module docstring's error model —
+    and is overridable via ista(mixed_tail=...)."""
+    from lasso_tpu.linear.solvers.ista import (_mixed_tail_blocks,
+                                               _resolve_mixed_tail)
     assert _mixed_tail_blocks(1) == 1
     assert _mixed_tail_blocks(2) == 1
     assert _mixed_tail_blocks(4) == 1
@@ -142,22 +171,35 @@ def test_mixed_tail_blocks_schedule():
         t = _mixed_tail_blocks(n)
         assert 1 <= t <= n
         assert n == 1 or t < n
+    assert _resolve_mixed_tail("auto", 8) == 1
+    assert _resolve_mixed_tail(3, 8) == 3
+    assert _resolve_mixed_tail(99, 8) == 8  # clamped to the budget
+    with pytest.raises(ValueError):
+        _resolve_mixed_tail(0, 8)
 
 
-def test_mixed_converged_budget_reaches_f32_floor():
-    """At a budget long enough to hit the f32 rounding floor, the mixed
-    run's gap-to-x64-optimum must equal the all-f32 run's — the direct
-    certification that one f32 tail block fully contracts the bf16
-    phase's rounding."""
+def test_mixed_error_floor_and_tail_dial():
+    """Converged-budget behavior: at 800 iters the all-f32 run reaches
+    its rounding floor (<1e-7 gap); the default-tail mixed run floors at
+    ~1e-6-class (measured 4.2e-7) — well above f32's floor but >=5x
+    below the bf16-only floor. Lengthening the tail via mixed_tail must
+    not degrade the floor (the dial is monotone up to noise)."""
     n, d, k, alpha, lr = 16, 128, 256, 0.3, 0.08
     x, W, z0 = _problem(99, n, d, k, alpha)
     f_star, _ = _f_star_x64(x, W, alpha, lr, maxiter=20000)
 
     kw = dict(lr=lr, maxiter=800, tol=0.0, use_pallas=True, fuse_steps=25)
-    gap_f = (_obj(x, W, alpha, ista(x, z0, W, alpha, **kw))
-             - f_star) / abs(f_star)
-    gap_m = (_obj(x, W, alpha, ista(x, z0, W, alpha,
-                                    kernel_precision="mixed", **kw))
-             - f_star) / abs(f_star)
+
+    def gap(**extra):
+        return (_obj(x, W, alpha, ista(x, z0, W, alpha, **kw, **extra))
+                - f_star) / abs(f_star)
+
+    gap_f = gap()
+    gap_b = gap(kernel_precision="bf16")
+    gap_m = gap(kernel_precision="mixed")           # auto: 4/32 blocks
+    gap_m_long = gap(kernel_precision="mixed", mixed_tail=16)
+
     assert gap_f < 1e-7, "budget must reach the f32 floor"
-    assert gap_m <= gap_f * 1.10 + 1e-10, (gap_m, gap_f)
+    assert gap_m <= 2e-6, gap_m
+    assert gap_m <= gap_b / 5, (gap_m, gap_b)
+    assert gap_m_long <= gap_m * 1.05 + 1e-9, (gap_m_long, gap_m)
