@@ -19,8 +19,16 @@ from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
 from lasso_tpu.ops.shrink import soft_threshold
 
 
+def _round_bf16(a):
+    """Round onto the bf16 grid, f32 dtype (XLA-land safe: an explicit
+    op the compiler must honor, unlike cast round-trips which the
+    default excess-precision rules elide)."""
+    return lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+
+
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 maxiter=10, lr="auto", tol=1e-5, restart=False,
+                kernel_precision="f32", mixed_tail="auto",
                 axis_name=None, verbose=False, return_iters=False):
     """Conv FISTA (reference conv2d/ista.py:7-48).
 
@@ -33,6 +41,20 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     pass the mesh axis name so the reference's batch-GLOBAL stopping sum
     ``sum|dz| <= numel * tol`` (conv2d/ista.py:44) psum-reduces across
     shards; the per-sample conv solves themselves need no communication.
+
+    ``kernel_precision``: the same precision-continuation lever as
+    :func:`lasso_tpu.linear.solvers.ista`, realized in XLA (the conv
+    path has no Pallas kernel): 'f32' (default, HIGHEST conv precision =
+    multi-pass MXU f32, reference-accurate), 'bf16' (operands rounded to
+    the bf16 grid + DEFAULT conv precision = single MXU pass; the
+    explicit ``lax.reduce_precision`` makes CPU runs emulate the TPU
+    truncation faithfully), or 'mixed' (bf16 bulk, f32 tail; the tail
+    contracts the bf16 phase's rounding at FISTA's linear rate — see
+    linear/solvers/ista.py's error model). The bf16 phase's convergence
+    statistic is discarded, so 'mixed' never stops before its f32 tail.
+
+    ``mixed_tail``: f32-tail length for 'mixed', in ITERATIONS here
+    (the conv path has no fused blocks); 'auto' = max(1, maxiter // 8).
 
     ``verbose`` prints the lasso loss per iteration (reference
     conv2d/ista.py:36-37).
@@ -55,18 +77,46 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     if axis_name is not None:
         tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
 
+    if kernel_precision not in ("f32", "bf16", "mixed"):
+        raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
+                         f"'mixed', got {kernel_precision!r}")
+    # precision phases: list of (mode, iteration_limit); 'mixed' = bf16
+    # bulk then f32 tail, each later phase resuming the carried state
+    if kernel_precision == "mixed":
+        if mixed_tail == "auto":
+            tail = max(1, maxiter // 8)
+        else:
+            tail = int(mixed_tail)
+            if tail < 1:
+                raise ValueError(
+                    f"mixed_tail must be >= 1 iteration, got {mixed_tail}")
+        tail = min(tail, maxiter)
+        phases = [("bf16", maxiter - tail), ("f32", maxiter)]
+    else:
+        phases = [(kernel_precision, maxiter)]
+    w_bf16 = _round_bf16(weight) if phases[0][0] == "bf16" else None
+
+    def rss_grad(zk, mode):
+        if mode == "bf16":
+            # bf16-grid operands + DEFAULT precision = one MXU pass on
+            # TPU; the explicit rounding (not a cast round-trip, which
+            # excess-precision rules elide) makes CPU runs emulate the
+            # same truncation
+            x_hat = conv_transpose2d(_round_bf16(zk), w_bf16, stride=stride,
+                                     padding=padding, precision="default")
+            return conv2d(_round_bf16(x_hat - x), w_bf16, stride=stride,
+                          padding=padding, precision="default")
+        x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
+        return conv2d(x_hat - x, weight, stride=stride, padding=padding)
+
+    def step(zk, mode):
+        return soft_threshold(zk - lr * rss_grad(zk, mode), alpha * lr)
+
     def _delta(z_new, z_old):
         d = jnp.sum(jnp.abs(z_new - z_old))
         if axis_name is not None:
             d = lax.psum(d, axis_name)
         return d
-
-    def rss_grad(zk):
-        x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
-        return conv2d(x_hat - x, weight, stride=stride, padding=padding)
-
-    def step(zk):
-        return soft_threshold(zk - lr * rss_grad(zk), alpha * lr)
 
     def print_loss(zk):
         import jax
@@ -75,51 +125,66 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 + alpha * jnp.sum(jnp.abs(zk)))
         jax.debug.print("loss: {l:.4f}", l=loss)
 
-    def cond(state):
-        _, _, _, k, done = state
-        return jnp.logical_and(jnp.logical_not(done), k < maxiter)
+    def make_cond(limit):
+        def cond(state):
+            k, done = state[-2], state[-1]
+            return jnp.logical_and(jnp.logical_not(done), k < limit)
+        return cond
 
     if restart:
         if not fast:
             raise ValueError("restart=True requires fast=True")
         feat_axes = tuple(range(1, z0.ndim))
 
-        def body_r(state):
-            z, z_prev, t_vec, k, _ = state
-            if verbose:
-                print_loss(z)
-            t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
-            y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
-            z_new = step(y)
-            rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
-                           keepdims=True)
-            t_new = jnp.where(rdot > 0, 1.0, t_next)
-            done = _delta(z_new, z) <= tol_total
-            return (z_new, z, t_new, k + 1, done)
+        def make_body_r(mode):
+            def body_r(state):
+                z, z_prev, t_vec, k, _ = state
+                if verbose:
+                    print_loss(z)
+                t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
+                y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
+                z_new = step(y, mode)
+                rdot = jnp.sum((y - z_new) * (z_new - z), axis=feat_axes,
+                               keepdims=True)
+                t_new = jnp.where(rdot > 0, 1.0, t_next)
+                done = _delta(z_new, z) <= tol_total
+                return (z_new, z, t_new, k + 1, done)
+            return body_r
 
         t0 = jnp.zeros((z0.shape[0],) + (1,) * (z0.ndim - 1), x.dtype)
-        init = (z0, z0, t0, jnp.asarray(0), jnp.asarray(False))
-        z, _, _, k, _ = lax.while_loop(cond, body_r, init)
+        state = (z0, z0, t0, jnp.asarray(0), jnp.asarray(False))
+        for mode, limit in phases:
+            state = lax.while_loop(make_cond(limit), make_body_r(mode),
+                                   state)
+            # a bf16 phase's convergence statistic is bf16-grade:
+            # discard it so the f32 tail always runs
+            state = state[:-1] + (jnp.asarray(False),)
+        z, _, _, k, _ = state
         if return_iters:
             return z, k
         return z
 
-    def body(state):
-        z, y, t, k, _ = state
-        if verbose:
-            print_loss(z)
-        z_next = step(y) if fast else step(z)
-        if fast:
-            t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
-            y_next = z_next + ((t - 1) / t_next) * (z_next - z)
-        else:
-            t_next, y_next = t, z_next
-        done = _delta(z_next, z) <= tol_total
-        return (z_next, y_next, t_next, k + 1, done)
+    def make_body(mode):
+        def body(state):
+            z, y, t, k, _ = state
+            if verbose:
+                print_loss(z)
+            z_next = step(y, mode) if fast else step(z, mode)
+            if fast:
+                t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                y_next = z_next + ((t - 1) / t_next) * (z_next - z)
+            else:
+                t_next, y_next = t, z_next
+            done = _delta(z_next, z) <= tol_total
+            return (z_next, y_next, t_next, k + 1, done)
+        return body
 
-    init = (z0, z0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
-            jnp.asarray(False))
-    z, _, _, k, _ = lax.while_loop(cond, body, init)
+    state = (z0, z0, jnp.asarray(1.0, x.dtype), jnp.asarray(0),
+             jnp.asarray(False))
+    for mode, limit in phases:
+        state = lax.while_loop(make_cond(limit), make_body(mode), state)
+        state = state[:-1] + (jnp.asarray(False),)
+    z, _, _, k, _ = state
     if return_iters:
         return z, k
     return z

@@ -149,3 +149,73 @@ def test_ista_conv2d_restart_reduces_iterations(rng):
                            tol=1e-8, restart=True, return_iters=True)
     assert int(k_r) < int(k_p)
     assert obj(z_r) <= obj(z_p) * (1 + 1e-5)
+
+
+def _conv_f_star_x64(x, W, alpha, padding, maxiter=4000):
+    """f64 anchor for the conv gap tests (long unfused x64 FISTA)."""
+    with jax.enable_x64():
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        W64 = jnp.asarray(np.asarray(W), jnp.float64)
+        z0 = jnp.zeros((x.shape[0], W.shape[0]) + x.shape[2:], jnp.float64)
+        z = ista_conv2d(x64, z0, W64, alpha=alpha, padding=padding,
+                        maxiter=maxiter, tol=1e-14)
+        xh = conv_transpose2d(z, W64, padding=padding)
+        return float(0.5 * jnp.sum(jnp.square(xh - x64))
+                     + alpha * jnp.sum(jnp.abs(z)))
+
+
+@pytest.mark.parametrize("restart", [False, True])
+def test_ista_conv2d_mixed_precision(rng, restart):
+    """Conv precision continuation (kernel_precision='mixed'): same
+    contract as the linear solver's — at a fixed budget the mixed run's
+    gap-to-optimum stays within the measured envelope of the f32 run's
+    and at/below the bf16-only run's. The explicit reduce_precision
+    operand rounding makes this a real bf16 test on CPU too."""
+    N, Cz, Cx, H = 4, 6, 2, 10
+    k = jnp.asarray((rng.standard_normal((Cz, Cx, 3, 3)) * 0.2)
+                    .astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((N, Cx, H, H)).astype(np.float32))
+    z0 = jnp.zeros((N, Cz, H, H), jnp.float32)
+    alpha = 0.05
+    f_star = _conv_f_star_x64(x, k, alpha, padding=1)
+
+    def obj64(z):
+        z64 = np.asarray(z, np.float64)
+        with jax.enable_x64():
+            xh = conv_transpose2d(jnp.asarray(z64), 
+                                  jnp.asarray(np.asarray(k, np.float64)),
+                                  padding=1)
+            return float(0.5 * jnp.sum(jnp.square(
+                xh - jnp.asarray(np.asarray(x, np.float64))))
+                + alpha * np.sum(np.abs(z64)))
+
+    kw = dict(alpha=alpha, padding=1, maxiter=200, tol=0.0, restart=restart)
+    gaps = {}
+    for kp in ("f32", "mixed", "bf16"):
+        z = ista_conv2d(x, z0, k, kernel_precision=kp, **kw)
+        gaps[kp] = (obj64(z) - f_star) / abs(f_star)
+    assert gaps["mixed"] >= -1e-7
+    assert gaps["mixed"] <= 1.5 * gaps["f32"] + 2e-6, gaps
+    assert gaps["mixed"] <= gaps["bf16"] + 1e-7, gaps
+
+
+def test_ista_conv2d_mixed_never_stops_before_tail(rng):
+    """tol>0 under 'mixed': the bf16 bulk's convergence statistic is
+    discarded, so (at a tol tight enough that the f32 check cannot pass
+    inside the bulk's span) the executed iteration count reaches the
+    f32 tail (>= maxiter - tail)."""
+    N, Cz, Cx, H = 2, 6, 2, 10
+    k = jnp.asarray((rng.standard_normal((Cz, Cx, 3, 3)) * 0.2)
+                    .astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((N, Cx, H, H)).astype(np.float32))
+    z0 = jnp.zeros((N, Cz, H, H), jnp.float32)
+    maxiter = 160
+    z_m, k_m = ista_conv2d(x, z0, k, alpha=0.05, padding=1,
+                           maxiter=maxiter, tol=1e-7,
+                           kernel_precision="mixed", return_iters=True)
+    assert int(k_m) >= maxiter - max(1, maxiter // 8)
+    with pytest.raises(ValueError):
+        ista_conv2d(x, z0, k, alpha=0.05, kernel_precision="tf32")
+    with pytest.raises(ValueError):
+        ista_conv2d(x, z0, k, alpha=0.05, kernel_precision="mixed",
+                    mixed_tail=0)
