@@ -138,8 +138,10 @@ def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
         resid = _dot_nt(_round_bf16(y), w_d) - x_ref[:]
         grad = _dot_nn(_round_bf16(resid), w_d)
     else:
-        resid = _dot_nt(y, w) - x_ref[:]
-        grad = _dot_nn(resid, w)
+        # compiled bf16 mode: w arrives as a real bf16 array; explicit
+        # activation casts match Mosaic's DEFAULT-precision truncation
+        resid = _dot_nt(y.astype(w.dtype), w) - x_ref[:]
+        grad = _dot_nn(resid.astype(w.dtype), w)
     _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
 
 
@@ -241,7 +243,10 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
         w_specs = [full_w(), full_w()]
     elif kernel_precision == "bf16":
         kernel = functools.partial(_fista_kernel_bf16, emulate=interpret)
-        w_args = (weight,)
+        # compiled: store the resident dictionary bf16 (half the VMEM,
+        # numerically identical — the DEFAULT-precision dot truncates
+        # it anyway); interpret keeps f32 + reduce_precision emulation
+        w_args = (weight if interpret else weight.astype(jnp.bfloat16),)
         w_specs = [full_w()]
     else:
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
@@ -334,11 +339,16 @@ def _make_multistep_kernel(steps, split_float, restart=False,
                 grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
                         + _dot_nn(r_lo, w_hi))
             elif emulate:  # interpret only: Mosaic bf16 dot semantics
+                # (w arrives f32 here; reduce_precision cannot be elided)
                 resid = _dot_nt(_round_bf16(y), _round_bf16(w)) - x
                 grad = _dot_nn(_round_bf16(resid), _round_bf16(w))
             else:
-                resid = _dot_nt(y, w) - x
-                grad = _dot_nn(resid, w)
+                # compiled bf16 mode: w arrives as a real bf16 array
+                # (halves its VMEM residency); casting the activations
+                # explicitly matches what Mosaic's DEFAULT dot precision
+                # would do to f32 operands anyway
+                resid = _dot_nt(y.astype(w.dtype), w) - x
+                grad = _dot_nn(resid.astype(w.dtype), w)
             z_new = soft_threshold(y - scal_ref[s, 0] * grad,
                                    scal_ref[s, 1])
             if restart:
@@ -418,7 +428,8 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
         w_specs = [full_w(), full_w()]
         flops_per_step = 12 * N * K * D
     elif kernel_precision == "bf16":
-        w_args = (weight,)
+        # compiled: resident dictionary stored bf16 (see fused_fista_step)
+        w_args = (weight if interpret else weight.astype(jnp.bfloat16),)
         w_specs = [full_w()]
         flops_per_step = 4 * N * K * D
     else:
