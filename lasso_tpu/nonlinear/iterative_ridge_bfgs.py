@@ -60,7 +60,7 @@ def _irb_per_sample(fun_vec, x0, alpha, lr, xtol, tikhonov, eps,
     B0 = jnp.eye(K, dtype=x0.dtype)[None].repeat(B, axis=0)
 
     def body(state):
-        x, fval, grad, Bm, t_init, x_prev, g_prev, k, done_prev = state
+        x, fval, grad, Bm, t_init, k, done_prev = state
         xmag = jnp.abs(x)
         is_zero = xmag < eps
         diag = jnp.where(is_zero, 0.0, alpha / jnp.where(is_zero, 1.0, xmag))
@@ -91,14 +91,13 @@ def _irb_per_sample(fun_vec, x0, alpha, lr, xtol, tikhonov, eps,
         # frozen rows have s = 0 -> rho_inv = 0 -> update rejected
         B_new = _bfgs_update(Bm, x_new, g_new, x, grad, first=(k == 0))
         t_next = jnp.full((B,), lr, x.dtype)
-        return (x_new, f_new, g_new, B_new, t_next, x, grad, k + 1, done)
+        return (x_new, f_new, g_new, B_new, t_next, k + 1, done)
 
     def cond(state):
         *_, k, done = state
         return jnp.logical_and(jnp.logical_not(jnp.all(done)), k < maxiter)
 
-    init = (x0, f0, g0, B0, t0, x0, g0, jnp.asarray(0),
-            jnp.zeros((B,), bool))
+    init = (x0, f0, g0, B0, t0, jnp.asarray(0), jnp.zeros((B,), bool))
     x, *_, k, _ = lax.while_loop(cond, body, init)
     if return_iters:
         return x, jnp.broadcast_to(k, (B,))

@@ -143,8 +143,6 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
         return f, g, pseudo_grad(x, g, alpha)
 
     f0, g0, gp0 = evaluate(x0)
-    t0 = jnp.clip(lr / (jnp.sum(jnp.abs(gp0), axis=1) + 1e-30),
-                  None, lr)                                    # [B]
 
     def solve(s_hist, y_hist, rho, h_diag, head, count, d):
         # two-loop recursion, per-row dot products; inert slots no-op
@@ -172,7 +170,7 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
 
     def body(state):
         (x, f, g, gp, s_hist, y_hist, rho, h_diag, head, count,
-         x_prev, g_prev, t_init, k, done_prev) = state
+         x_prev, g_prev, k, done_prev) = state
         v = -gp
         d = solve(s_hist, y_hist, rho, h_diag, head, count, v)
         d = project(d, v)
@@ -206,10 +204,9 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
             ok, rho_inv / (jnp.sum(y * y, axis=1) + 1e-30), h_diag)
         x_prev = jnp.where(ok[:, None], x_new, x_prev)
         g_prev = jnp.where(ok[:, None], g_new, g_prev)
-        t_next = jnp.full((B,), lr, x.dtype)
         return (x_new, f_new, g_new, gp_new, s_hist, y_hist, rho, h_diag,
                 (head + 1) % m, jnp.minimum(count + 1, m),
-                x_prev, g_prev, t_next, k + 1, done)
+                x_prev, g_prev, k + 1, done)
 
     def cond(state):
         k, done = state[-2], state[-1]
@@ -220,7 +217,7 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
             jnp.zeros((m, B, K), x0.dtype), jnp.zeros((m, B, K), x0.dtype),
             jnp.zeros((m, B), x0.dtype), jnp.ones((B,), x0.dtype),
             jnp.asarray(0), jnp.asarray(0),
-            x0, g0, t0, jnp.asarray(0), jnp.zeros((B,), bool))
+            x0, g0, jnp.asarray(0), jnp.zeros((B,), bool))
     out = lax.while_loop(cond, body, init)
     x, k, done = out[0], out[-2], out[-1]
     if return_iters:

@@ -117,15 +117,14 @@ def data_parallel_encode_conv2d(mesh, x, weight, alpha=1.0, z0=None,
     (``ista_conv2d(axis_name=...)``). ``z0`` defaults to zeros with the
     conv-geometry code shape.
     """
-    import jax as _jax
     from lasso_tpu.conv2d.ista import ista_conv2d
     from lasso_tpu.conv2d.ops import conv2d
 
     weight = jnp.asarray(weight)
     if z0 is None:
-        code = _jax.eval_shape(
+        code = jax.eval_shape(
             lambda xx: conv2d(xx, weight, stride=stride, padding=padding),
-            _jax.ShapeDtypeStruct(x.shape, x.dtype))
+            jax.ShapeDtypeStruct(x.shape, x.dtype))
         z0 = jnp.zeros(code.shape, x.dtype)
 
     if kwargs.get("return_iters"):

@@ -30,18 +30,22 @@ def initialize(coordinator_address=None, num_processes=None,
             **kwargs)
         return True
     except RuntimeError as e:
-        # the only benign RuntimeError is double initialization; anything
-        # else (bad coordinator address, mismatched process counts, ...)
-        # is a real multi-host misconfiguration and must not be swallowed
-        if "already initialized" in str(e).lower():
+        # the only benign RuntimeError is double initialization ("should
+        # only be called once" in jax>=0.9, "already initialized" in
+        # older releases); anything else (bad coordinator address,
+        # mismatched process counts, ...) is a real multi-host
+        # misconfiguration and must not be swallowed
+        msg = str(e).lower()
+        if "already initialized" in msg or "only be called once" in msg:
             return False
         raise
     except ValueError:
-        # with NO explicit coordinator, jax relies on cluster
-        # auto-detection, which raises ValueError on a plain single-host
-        # environment — the expected no-op case. An explicitly-passed
-        # coordinator failing the same way is a misconfiguration.
-        if coordinator_address is None:
+        # with NO explicit coordinator AND no explicit process count,
+        # jax relies on cluster auto-detection, which raises ValueError
+        # on a plain single-host environment — the expected no-op case.
+        # An explicitly requested multi-process run (or an explicit
+        # coordinator) failing the same way is a misconfiguration.
+        if coordinator_address is None and num_processes is None:
             return False
         raise
 
