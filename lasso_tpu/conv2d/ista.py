@@ -16,14 +16,8 @@ from jax import lax
 
 from lasso_tpu.conv2d.lip_const import lip_bound_conv2d
 from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
+from lasso_tpu.ops.fused_ista import _round_bf16
 from lasso_tpu.ops.shrink import soft_threshold
-
-
-def _round_bf16(a):
-    """Round onto the bf16 grid, f32 dtype (XLA-land safe: an explicit
-    op the compiler must honor, unlike cast round-trips which the
-    default excess-precision rules elide)."""
-    return lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
 
 
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
@@ -56,9 +50,28 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     ``mixed_tail``: f32-tail length for 'mixed', in ITERATIONS here
     (the conv path has no fused blocks); 'auto' = max(1, maxiter // 8).
 
+    ``alpha`` may also be an [N]-vector of per-sample penalties (exact
+    via lasso homogeneity — see the linear solver's docstring and
+    ops.common.per_sample_alpha_column).
+
     ``verbose`` prints the lasso loss per iteration (reference
     conv2d/ista.py:36-37).
     """
+    from lasso_tpu.ops.common import per_sample_alpha_column
+    a_col = per_sample_alpha_column(alpha, x.shape[0], ndim=x.ndim)
+    if a_col is not None:
+        a_col = a_col.astype(x.dtype)
+        out = ista_conv2d(
+            x / a_col, z0 / a_col, weight, 1.0, stride=stride,
+            padding=padding, fast=fast, maxiter=maxiter, lr=lr, tol=tol,
+            restart=restart, kernel_precision=kernel_precision,
+            mixed_tail=mixed_tail, axis_name=axis_name, verbose=verbose,
+            return_iters=return_iters)
+        if return_iters:
+            z_u, k = out
+            return z_u * a_col, k
+        return out * a_col
+
     if isinstance(lr, str):
         if lr != "auto":
             raise ValueError(f"invalid lr {lr!r}")

@@ -54,7 +54,26 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
     pair of matmuls) and every row is reactivated; the f32 tail then
     re-polishes the largest-error coordinates and re-applies the exact
     stopping test. Requires the fused path (plain XLA runs f32).
+    ``alpha`` may also be an [N]-vector of per-sample penalties (exact
+    via lasso homogeneity — see ista's docstring and
+    ops.common.per_sample_alpha_column); the per-sample deactivation
+    threshold then acts in penalty-normalized units.
     """
+    from lasso_tpu.ops.common import per_sample_alpha_column
+    a_col = per_sample_alpha_column(alpha, x.shape[0])
+    if a_col is not None:
+        a_col = a_col.astype(x.dtype)
+        out = coord_descent(
+            x / a_col, W, None if z0 is None else z0 / a_col, 1.0,
+            maxiter=maxiter, tol=tol, precision=precision,
+            use_pallas=use_pallas, kernel_precision=kernel_precision,
+            fuse_steps=fuse_steps, verbose=verbose,
+            return_iters=return_iters)
+        if return_iters:
+            z_u, it = out
+            return z_u * a_col, it
+        return out * a_col
+
     from lasso_tpu.ops.fused_cd import fused_cd_steps, supports_fused_cd
 
     prec = get_precision(precision)

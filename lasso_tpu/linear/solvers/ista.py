@@ -184,9 +184,39 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     ``kernel_precision='mixed'`` (the per-row t-vector carries across
     the bf16 -> f32 phase switch).
 
+    ``alpha`` may be a scalar (reference parity) or an [N]-vector of
+    per-sample penalties (TPU extension: one batch sweeps a
+    regularization path / per-request penalties at full throughput).
+    The vector form solves the exactly-equivalent alpha=1 problem on
+    row-rescaled inputs (lasso homogeneity — see
+    ops.common.per_sample_alpha_column), so every kernel/precision/
+    restart path applies unchanged; convergence (and ``verbose`` loss
+    prints) are then measured in penalty-normalized units
+    (row i's contribution scaled by 1/alpha_i).
+
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
     """
+    from lasso_tpu.ops.common import per_sample_alpha_column
+    a_col = per_sample_alpha_column(alpha, x.shape[0])
+    if a_col is not None:
+        a_col = a_col.astype(x.dtype)
+        out = ista(x / a_col, z0 / a_col, weight, 1.0, fast=fast, lr=lr,
+                   maxiter=maxiter, tol=tol, backtrack=backtrack,
+                   eta_backtrack=eta_backtrack,
+                   backtrack_maxiter=backtrack_maxiter,
+                   power_iters=power_iters, precision=precision,
+                   use_pallas=use_pallas,
+                   kernel_precision=kernel_precision,
+                   fuse_steps=fuse_steps, mixed_tail=mixed_tail,
+                   axis_name=axis_name, per_sample_tol=per_sample_tol,
+                   restart=restart, verbose=verbose,
+                   return_iters=return_iters)
+        if return_iters:
+            z_u, k = out
+            return z_u * a_col, k
+        return out * a_col
+
     from lasso_tpu.ops.fused_ista import (fused_fista_multistep,
                                           fused_fista_step,
                                           supports_fused_step)

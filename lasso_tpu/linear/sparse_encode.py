@@ -45,7 +45,12 @@ def initialize_code(x, weight, alpha, mode, key=None):
     elif mode == "lstsq":
         z0 = lstsq(x.T, weight).T
     elif mode == "ridge":
-        z0 = ridge(x.T, weight, alpha=alpha).T
+        a = jnp.asarray(alpha)
+        if a.ndim >= 1:
+            # per-sample alpha: any z0 is a valid start and the shared
+            # ridge factorization takes one penalty — use the mean
+            a = jnp.mean(a)
+        z0 = ridge(x.T, weight, alpha=a).T
     elif mode == "transpose":
         z0 = jnp.matmul(x, weight, precision=get_precision())
     else:
@@ -64,11 +69,33 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
     ``return_iters=True`` returns ``(z, n_iter)`` for every algorithm
     (the executed iteration count from the solver's aux — the uniform
     observability surface the per-solver functions expose).
+
+    ``alpha`` may be an [N]-vector of per-sample penalties for EVERY
+    algorithm (TPU extension; the reference takes scalars): the lasso is
+    homogeneous in alpha, so the vector solve is the alpha=1 solve on
+    row-rescaled inputs (ops.common.per_sample_alpha_column). ista and
+    cd implement this natively; the remaining algorithms are wrapped
+    here. Convergence tolerances then act in penalty-normalized units.
     """
     from lasso_tpu.linear import solvers
+    from lasso_tpu.ops.common import per_sample_alpha_column
 
     n_samples = x.shape[0]
     n_components = weight.shape[1]
+
+    a_col = per_sample_alpha_column(alpha, n_samples)
+    if a_col is not None and algorithm not in ("ista", "cd"):
+        # generic homogeneity wrapper for solvers without native
+        # vector-alpha support (ista/cd rescale internally)
+        a_col = a_col.astype(x.dtype)
+        out = sparse_encode(
+            x / a_col, weight, 1.0,
+            z0=None if z0 is None else z0 / a_col, algorithm=algorithm,
+            init=init, key=key, return_iters=return_iters, **kwargs)
+        if return_iters:
+            z_u, n_iter = out
+            return z_u * a_col, n_iter
+        return out * a_col
     ri = {"return_iters": True} if return_iters else {}
     n_iter = None
 

@@ -52,3 +52,38 @@ def l1_norm(x):
 
 def sq_norm(x):
     return jnp.sum(jnp.square(x))
+
+
+def per_sample_alpha_column(alpha, batch_size, ndim=2):
+    """Resolve a per-sample penalty vector to a broadcastable column.
+
+    Returns ``None`` when ``alpha`` is a scalar (the common path), else
+    a ``[N, 1, ...]`` array (``ndim`` total dims) validated against the
+    batch size. Solvers use this to support ``alpha`` as an [N]-vector
+    through the lasso's exact homogeneity: with ``a_i > 0``,
+
+        argmin_z 0.5 ||z W^T - x_i||^2 + a_i ||z||_1
+          = a_i * argmin_u 0.5 ||u W^T - x_i / a_i||^2 + 1 * ||u||_1
+
+    so a per-sample-alpha solve IS the alpha=1 solve on row-rescaled
+    inputs — every kernel, precision schedule, and restart path applies
+    unchanged (FISTA/CD are row-separable). One batch can then sweep a
+    regularization path or per-request penalties at full throughput.
+
+    Positivity is checked when ``alpha`` is concrete; traced values are
+    the caller's contract (a zero entry divides by zero).
+    """
+    import numpy as np
+    import jax
+
+    arr = jnp.asarray(alpha)
+    if arr.ndim == 0:
+        return None
+    if arr.shape != (batch_size,) and arr.shape != (batch_size, 1):
+        raise ValueError(
+            f"per-sample alpha must have shape ({batch_size},), got "
+            f"{arr.shape}")
+    if not isinstance(arr, jax.core.Tracer):
+        if not bool(np.all(np.asarray(arr) > 0)):
+            raise ValueError("per-sample alpha entries must be > 0")
+    return arr.reshape((batch_size,) + (1,) * (ndim - 1))
