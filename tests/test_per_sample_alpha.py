@@ -163,3 +163,43 @@ def test_sparse_encode_vector_alpha_all_algorithms(rng, algorithm, rel):
         # rescaled trajectory can legitimately terminate closer to the
         # optimum at the same budget)
         assert f_v <= f_s + rel * abs(f_s) + 1e-9, (i, f_v, f_s)
+
+
+def test_lasso_path_batched_matches_individual(rng):
+    from lasso_tpu.linear import lasso_path
+    n, d, k = 8, 32, 64
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
+    alphas = [0.4, 0.1, 0.2]
+    kw = dict(maxiter=200, tol=0.0, lr=0.08)
+    path = np.asarray(lasso_path(x, W, alphas, **kw))
+    assert path.shape == (3, n, k)
+    for j, a in enumerate(alphas):
+        z_j = np.asarray(sparse_encode(x, W, alpha=a, **kw))
+        np.testing.assert_allclose(path[j], z_j, atol=5e-5)
+
+
+def test_lasso_path_sequential_warm_start(rng):
+    """Sequential mode visits alphas largest-first with warm starts and
+    returns them in the CALLER's order; per-alpha objectives match the
+    batched mode within solver accuracy."""
+    from lasso_tpu.linear import lasso_path
+    n, d, k = 8, 32, 64
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
+    alphas = [0.15, 0.45, 0.3]
+    kw = dict(maxiter=400, tol=1e-7)
+    seq = np.asarray(lasso_path(x, W, alphas, mode="sequential", **kw))
+    bat = np.asarray(lasso_path(x, W, alphas, mode="batched", **kw))
+    W64, x64 = np.asarray(W, np.float64), np.asarray(x, np.float64)
+    for j, a in enumerate(alphas):
+        f_s = (0.5 * np.sum((seq[j].astype(np.float64) @ W64.T - x64)**2)
+               + a * np.sum(np.abs(seq[j])))
+        f_b = (0.5 * np.sum((bat[j].astype(np.float64) @ W64.T - x64)**2)
+               + a * np.sum(np.abs(bat[j])))
+        assert abs(f_s - f_b) <= 1e-4 * abs(f_b) + 1e-9, (j, f_s, f_b)
+
+    with pytest.raises(ValueError):
+        lasso_path(x, W, alphas, mode="homotopy")
