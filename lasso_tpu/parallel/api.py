@@ -68,30 +68,41 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     z_sh = code_sharding(mesh, shard_atoms)
 
     if algorithm in _SHARD_MAP_ALGOS and not shard_atoms:
-        # per-sample arrays (z0 warm starts) must enter shard_map as
-        # explicit 'data'-sharded operands, not closed-over globals —
-        # the local body sees per-device shapes
+        # per-sample arrays (z0 warm starts, [N]-vector alpha) must
+        # enter shard_map as explicit 'data'-sharded operands, not
+        # closed-over globals — the local body sees per-device shapes
         z0 = kwargs.pop("z0", None)
+        a_arr = jnp.asarray(alpha)
+        vec_alpha = a_arr.ndim >= 1
         extra = ({"axis_name": "data"}
                  if algorithm in _AXIS_NAME_ALGOS else {})
-        local = partial(sparse_encode, alpha=alpha, algorithm=algorithm,
-                        **extra, **kwargs)
         # with return_iters, sparse_encode returns (z, n_iter): the count
         # is identical across shards for the axis_name solvers (their
         # stopping statistic is psum-reduced), so it comes out replicated
         out_specs = (P("data"), P()) if return_iters else P("data")
+
+        in_specs = [P("data"), P()]
+        args = [jax.device_put(x, x_sh), jax.device_put(weight, w_sh)]
+        names = []
         if z0 is not None:
-            fn_z0 = jax.jit(jax.shard_map(
-                lambda x, w, z0: local(x, w, z0=z0), mesh=mesh,
-                in_specs=(P("data"), P(), P("data")), out_specs=out_specs,
-                check_vma=False))
-            x = jax.device_put(x, x_sh)
-            weight = jax.device_put(weight, w_sh)
-            return fn_z0(x, weight, jax.device_put(z0, z_sh))
+            in_specs.append(P("data"))
+            args.append(jax.device_put(z0, z_sh))
+            names.append("z0")
+        if vec_alpha:
+            in_specs.append(P("data"))
+            args.append(jax.device_put(a_arr, x_sh))
+            names.append("alpha")
+
+        def local(x, w, *rest):
+            kw = dict(zip(names, rest))
+            a = kw.pop("alpha", alpha)
+            return sparse_encode(x, w, alpha=a, algorithm=algorithm,
+                                 **kw, **extra, **kwargs)
+
         fn = jax.jit(jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P("data"), P()), out_specs=out_specs,
-            check_vma=False))
+            local, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=out_specs, check_vma=False))
+        return fn(*args)
     else:
         if algorithm in _PALLAS_ALGOS:
             kwargs.setdefault("use_pallas", False)

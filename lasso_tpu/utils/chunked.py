@@ -105,16 +105,27 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
         return out
     chunk_size = min(chunk_size, N)
 
+    a_arr = np.asarray(alpha)
+    vec_alpha = a_arr.ndim >= 1
+    if vec_alpha:
+        if screen:
+            raise ValueError("screen=True requires a scalar alpha (the "
+                             "gap-safe certificate is a scalar-penalty "
+                             "construction)")
+        if a_arr.shape[0] != N:
+            raise ValueError(f"per-sample alpha must have shape ({N},), "
+                             f"got {a_arr.shape}")
+
     if screen:
         run = partial(screened_encode, alpha=alpha, algorithm=algorithm,
                       **(screen_kwargs or {}), **kwargs)
     elif conv:
         z0_chunk = jnp.zeros((chunk_size,) + code_shape, out_dtype)
-        run = jax.jit(lambda xb, w: ista_conv2d(
-            xb, z0_chunk, w, alpha=alpha, **conv_kw, **kwargs))
+        run = jax.jit(lambda xb, w, ab: ista_conv2d(
+            xb, z0_chunk, w, alpha=ab, **conv_kw, **kwargs))
     else:
-        run = jax.jit(partial(sparse_encode, alpha=alpha,
-                              algorithm=algorithm, **kwargs))
+        run = jax.jit(lambda xb, w, ab: sparse_encode(
+            xb, w, alpha=ab, algorithm=algorithm, **kwargs))
 
     def dispatch(start):
         stop = min(start + chunk_size, N)
@@ -123,7 +134,21 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
             pad = np.zeros((chunk_size - (stop - start),) + x.shape[1:],
                            dtype=xb.dtype)
             xb = np.concatenate([xb, pad], axis=0)
-        zb = run(jnp.asarray(xb), weight)
+        if screen:
+            zb = run(jnp.asarray(xb), weight)
+        else:
+            if vec_alpha:
+                ab = a_arr[start:stop].astype(np.float32)
+                if stop - start < chunk_size:
+                    # padding rows solve a zero problem; any positive
+                    # penalty keeps their codes exactly zero
+                    ab = np.concatenate(
+                        [ab, np.ones(chunk_size - (stop - start),
+                                     np.float32)])
+                ab = jnp.asarray(ab)
+            else:
+                ab = alpha
+            zb = run(jnp.asarray(xb), weight, ab)
         return (zb[0] if isinstance(zb, tuple) else zb), start, stop
 
     def land(zb, start, stop):

@@ -203,3 +203,42 @@ def test_lasso_path_sequential_warm_start(rng):
 
     with pytest.raises(ValueError):
         lasso_path(x, W, alphas, mode="homotopy")
+
+
+def test_data_parallel_encode_vector_alpha(rng):
+    """Vector alpha enters shard_map as a 'data'-sharded operand; the
+    sharded result matches the single-device solve."""
+    from lasso_tpu.parallel import data_parallel_encode, make_mesh
+    n, d, k = 32, 32, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    W = (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32)
+    alphas = rng.uniform(0.1, 0.4, size=(n,)).astype(np.float32)
+    mesh = make_mesh(n_devices=8, model_parallel=1)
+    kw = dict(maxiter=100, tol=0.0, lr=0.08)
+    z_sh = np.asarray(data_parallel_encode(
+        mesh, x, W, alpha=alphas, algorithm="ista", **kw))
+    z_ref = np.asarray(sparse_encode(
+        jnp.asarray(x), jnp.asarray(W), alpha=jnp.asarray(alphas),
+        algorithm="ista", **kw))
+    np.testing.assert_allclose(z_sh, z_ref, atol=2e-5)
+
+
+def test_chunked_encode_vector_alpha(rng):
+    """Per-chunk alpha slices (with a ones-padded tail chunk) match the
+    unchunked vector solve."""
+    from lasso_tpu.utils import chunked_encode
+    n, d, k = 50, 32, 64   # 50 rows, chunk 16 -> padded tail
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    W = (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32)
+    alphas = rng.uniform(0.1, 0.4, size=(n,)).astype(np.float32)
+    kw = dict(maxiter=100, tol=0.0, lr=0.08)
+    z_c = chunked_encode(x, W, alpha=alphas, chunk_size=16, **kw)
+    z_ref = np.asarray(sparse_encode(
+        jnp.asarray(x), jnp.asarray(W), alpha=jnp.asarray(alphas),
+        algorithm="ista", **kw))
+    np.testing.assert_allclose(z_c, z_ref, atol=2e-5)
+    with pytest.raises(ValueError):
+        chunked_encode(x, W, alpha=alphas[:10], chunk_size=16, **kw)
+    with pytest.raises(ValueError):
+        chunked_encode(x, W, alpha=alphas, chunk_size=16, screen=True,
+                       **kw)
