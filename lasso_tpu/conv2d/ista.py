@@ -17,12 +17,13 @@ from jax import lax
 from lasso_tpu.conv2d.lip_const import lip_bound_conv2d
 from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
 from lasso_tpu.ops.fused_ista import _round_bf16
-from lasso_tpu.ops.shrink import soft_threshold
+from lasso_tpu.ops.shrink import (soft_threshold,
+                                  soft_threshold_nonneg)
 
 
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 maxiter=10, lr="auto", tol=1e-5, restart=False,
-                kernel_precision="f32", mixed_tail="auto",
+                kernel_precision="f32", mixed_tail="auto", nonneg=False,
                 axis_name=None, verbose=False, return_iters=False):
     """Conv FISTA (reference conv2d/ista.py:7-48).
 
@@ -65,8 +66,8 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
             x / a_col, z0 / a_col, weight, 1.0, stride=stride,
             padding=padding, fast=fast, maxiter=maxiter, lr=lr, tol=tol,
             restart=restart, kernel_precision=kernel_precision,
-            mixed_tail=mixed_tail, axis_name=axis_name, verbose=verbose,
-            return_iters=return_iters)
+            mixed_tail=mixed_tail, nonneg=nonneg, axis_name=axis_name,
+            verbose=verbose, return_iters=return_iters)
         if return_iters:
             z_u, k = out
             return z_u * a_col, k
@@ -122,8 +123,10 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
         x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
         return conv2d(x_hat - x, weight, stride=stride, padding=padding)
 
+    prox = soft_threshold_nonneg if nonneg else soft_threshold
+
     def step(zk, mode):
-        return soft_threshold(zk - lr * rss_grad(zk, mode), alpha * lr)
+        return prox(zk - lr * rss_grad(zk, mode), alpha * lr)
 
     def _delta(z_new, z_old):
         d = jnp.sum(jnp.abs(z_new - z_old))

@@ -22,12 +22,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from lasso_tpu.config import get_precision
-from lasso_tpu.ops.shrink import soft_threshold
+from lasso_tpu.ops.shrink import (soft_threshold,
+                                  soft_threshold_nonneg)
 
 
 def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
                   precision=None, use_pallas="auto", kernel_precision="f32",
-                  fuse_steps=8, verbose=False, return_iters=False):
+                  fuse_steps=8, nonneg=False, verbose=False,
+                  return_iters=False):
     """Greedy batched CD (reference cd.py:5-54).
 
     x: [N, D], W: [D, K] -> z: [N, K]
@@ -67,7 +69,7 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
             x / a_col, W, None if z0 is None else z0 / a_col, 1.0,
             maxiter=maxiter, tol=tol, precision=precision,
             use_pallas=use_pallas, kernel_precision=kernel_precision,
-            fuse_steps=fuse_steps, verbose=verbose,
+            fuse_steps=fuse_steps, nonneg=nonneg, verbose=verbose,
             return_iters=return_iters)
         if return_iters:
             z_u, it = out
@@ -104,9 +106,11 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         _, _, active, k = state
         return jnp.logical_and(jnp.any(active), k < maxiter)
 
+    prox = soft_threshold_nonneg if nonneg else soft_threshold
+
     def body(state):
         z, b, active, it = state
-        z_cand = soft_threshold(b, alpha)
+        z_cand = prox(b, alpha)
         if verbose:
             # per-iteration loss of softshrink(b, alpha) (cd.py:49-50)
             resid_v = jnp.matmul(z_cand, W.T, precision=prec) - x
@@ -152,7 +156,8 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
                 z, b, act, it = state
                 b_new, z_new, act_new = fused_cd_steps(
                     b, z, act, S, alpha, tol_k, steps=T,
-                    interpret=interpret, kernel_precision=kp)
+                    interpret=interpret, kernel_precision=kp,
+                    nonneg=nonneg)
                 return (z_new, b_new, act_new, it + T)
 
             return cond_f, body_f
@@ -177,7 +182,7 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         state = (z_c, b_c, act_c[:, 0] > 0, it_c)
 
     z, b, _, it = lax.while_loop(cond, body, state)
-    zf = soft_threshold(b, alpha)
+    zf = prox(b, alpha)
     if return_iters:
         return zf, it
     return zf

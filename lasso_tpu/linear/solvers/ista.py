@@ -27,10 +27,12 @@ from jax import lax
 
 from lasso_tpu.config import get_precision
 from lasso_tpu.linalg.spectral import lipschitz_constant
-from lasso_tpu.ops.shrink import soft_threshold
+from lasso_tpu.ops.shrink import (soft_threshold,
+                                  soft_threshold_nonneg)
 
 
-def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
+def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec,
+                       shrink=soft_threshold):
     """One FISTA step with backtracking (reference ista.py:17-54).
 
     Gradient is evaluated once at ``z``; the inner loop shrinks the step size
@@ -41,7 +43,7 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
     fgrad_0 = jnp.matmul(resid_0, weight, precision=prec)
 
     def trial(lr):
-        z_next = soft_threshold(z - lr * fgrad_0, alpha * lr)
+        z_next = shrink(z - lr * fgrad_0, alpha * lr)
         resid_1 = jnp.matmul(z_next, weight.T, precision=prec) - x
         l1 = alpha * jnp.sum(jnp.abs(z_next))
         F_next = 0.5 * jnp.sum(jnp.square(resid_1)) + l1
@@ -65,7 +67,7 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec):
         cond, body, (z_init, jnp.asarray(lr0, z.dtype), jnp.asarray(False), 0))
 
     # on failure, revert to the base step size (reference ista.py:48-52)
-    z_fail = soft_threshold(z - lr0 * fgrad_0, alpha * lr0)
+    z_fail = shrink(z - lr0 * fgrad_0, alpha * lr0)
     z_next = jnp.where(accepted, z_next, z_fail)
     lr = jnp.where(accepted, lr, lr0)
     return z_next, lr
@@ -111,8 +113,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", mixed_tail="auto",
-         axis_name=None, per_sample_tol=False, restart=False, verbose=False,
-         return_iters=False):
+         axis_name=None, per_sample_tol=False, restart=False, nonneg=False,
+         verbose=False, return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -184,6 +186,13 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     ``kernel_precision='mixed'`` (the per-row t-vector carries across
     the bf16 -> f32 phase switch).
 
+    ``nonneg=True`` solves the NON-NEGATIVE lasso
+    ``min_{z>=0} 0.5||z W^T - x||^2 + alpha 1'z`` (TPU extension; the
+    reference has no constrained variant): the prox becomes the
+    one-sided shift-project ``max(. - alpha*lr, 0)``, identical
+    iteration structure, so every path (fused kernels, precision
+    continuation, restart, backtracking, per-sample alpha) composes.
+
     ``alpha`` may be a scalar (reference parity) or an [N]-vector of
     per-sample penalties (TPU extension: one batch sweeps a
     regularization path / per-request penalties at full throughput).
@@ -210,7 +219,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                    kernel_precision=kernel_precision,
                    fuse_steps=fuse_steps, mixed_tail=mixed_tail,
                    axis_name=axis_name, per_sample_tol=per_sample_tol,
-                   restart=restart, verbose=verbose,
+                   restart=restart, nonneg=nonneg, verbose=verbose,
                    return_iters=return_iters)
         if return_iters:
             z_u, k = out
@@ -222,6 +231,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                                           supports_fused_step)
 
     prec = get_precision(precision)
+    shrink = soft_threshold_nonneg if nonneg else soft_threshold
     if isinstance(lr, str):
         if lr != "auto":
             raise ValueError(f"invalid lr {lr!r}")
@@ -247,9 +257,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         if backtrack:
             z_next, _ = _backtracking_step(
                 z_prev, x, weight, alpha, lr, eta_backtrack,
-                backtrack_maxiter, prec)
+                backtrack_maxiter, prec, shrink=shrink)
             return z_next
-        return soft_threshold(z_prev - lr * rss_grad(z_prev), alpha * lr)
+        return shrink(z_prev - lr * rss_grad(z_prev), alpha * lr)
 
     def cond(state):
         _, _, _, _, k, done = state
@@ -277,7 +287,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 # under 'mixed' any single-step remainder belongs to the
                 # f32 refinement tail
                 kernel_precision=("f32" if kernel_precision == "mixed"
-                                  else kernel_precision))
+                                  else kernel_precision), nonneg=nonneg)
         else:
             y = z + mom * (z - z_prev)
             z_next = step(y)
@@ -341,7 +351,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # (0-1)/1 = -1 against a zero (z - z_prev) difference
             t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
             y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
-            z_new = soft_threshold(y - lr * rss_grad(y), alpha * lr)
+            z_new = shrink(y - lr * rss_grad(y), alpha * lr)
             rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
                            keepdims=True)
             t_new = jnp.where(rdot > 0, 1.0, t_next)
@@ -384,7 +394,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                     z_new, z_pen, t_new, delta = fused_fista_multistep(
                         x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
                         steps=S, interpret=interpret,
-                        kernel_precision=kp, t_vec=t_vec)
+                        kernel_precision=kp, t_vec=t_vec, nonneg=nonneg)
                     if axis_name is not None:
                         delta = lax.psum(delta, axis_name)
                     return (z_new, z_pen, t_new, k + S,
@@ -439,7 +449,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 z_next, z_pen, delta = fused_fista_multistep(
                     x, z, z_prev, weight, lr, alpha * lr,
                     jnp.stack(mom_list), steps=S, interpret=interpret,
-                    kernel_precision=kp)
+                    kernel_precision=kp, nonneg=nonneg)
                 if axis_name is not None:
                     delta = lax.psum(delta, axis_name)
                 done = delta <= tol_total

@@ -30,10 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lasso_tpu.ops.fused_ista import _dot_nn, _split_bf16_xla
-from lasso_tpu.ops.shrink import soft_threshold
+from lasso_tpu.ops.shrink import (soft_threshold,
+                                  soft_threshold_nonneg)
 
 
-def _make_cd_kernel(steps, split_float, K):
+def _make_cd_kernel(steps, split_float, K, nonneg=False):
     def kernel(scal_ref, b_ref, z_ref, act_ref, *refs):
         if split_float:
             s_hi_ref, s_lo_ref, b_out_ref, z_out_ref, act_out_ref = refs
@@ -48,8 +49,9 @@ def _make_cd_kernel(steps, split_float, K):
         act = act_ref[:]                      # [bn, 1] float 0/1
         bn = b.shape[0]
         iota = lax.broadcasted_iota(jnp.int32, (bn, K), 1)
+        prox = soft_threshold_nonneg if nonneg else soft_threshold
         for _ in range(steps):
-            z_cand = soft_threshold(b, alpha)
+            z_cand = prox(b, alpha)
             diff = z_cand - z
             absdiff = jnp.abs(diff)
             m = jnp.max(absdiff, axis=1, keepdims=True)        # [bn, 1]
@@ -87,9 +89,9 @@ def supports_fused_cd(b, weight):
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "block_n", "interpret",
-                                    "kernel_precision"))
+                                    "kernel_precision", "nonneg"))
 def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
-                   interpret=False, kernel_precision="f32"):
+                   interpret=False, kernel_precision="f32", nonneg=False):
     """``steps`` fused greedy-CD iterations. Returns ``(b, z, active)``.
 
     b, z: [N, K]; active: [N, 1] float 0/1 mask; S: [K, K] = I - W^T W.
@@ -131,7 +133,8 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
                          f"{kernel_precision!r}")
 
-    kernel = _make_cd_kernel(steps, kernel_precision == "f32", K)
+    kernel = _make_cd_kernel(steps, kernel_precision == "f32", K,
+                             nonneg=nonneg)
 
     b_out, z_out, act_out = pl.pallas_call(
         kernel,

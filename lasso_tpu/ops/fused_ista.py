@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.shrink import soft_threshold
+from lasso_tpu.ops.shrink import (soft_threshold,
+                                  soft_threshold_nonneg)
 
 
 def _split_bf16(a, emulate=False):
@@ -111,10 +112,11 @@ def _round_bf16(a):
     return jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
 
 
-def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
+def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg=False):
     lr = scal_ref[0, 0]
     thresh = scal_ref[0, 1]   # alpha * lr
-    z_next = soft_threshold(y - lr * grad, thresh)
+    prox = soft_threshold_nonneg if nonneg else soft_threshold
+    z_next = prox(y - lr * grad, thresh)
     z_out_ref[:] = z_next
 
     # accumulate the convergence statistic across the (sequential) grid
@@ -126,7 +128,7 @@ def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref):
 
 
 def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
-                       z_out_ref, delta_ref, emulate=False):
+                       z_out_ref, delta_ref, emulate=False, nonneg=False):
     z = z_ref[:]
     # momentum point formed in-register: y = z + mom * (z - z_prev)
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
@@ -142,11 +144,11 @@ def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
         # activation casts match Mosaic's DEFAULT-precision truncation
         resid = _dot_nt(y.astype(w.dtype), w) - x_ref[:]
         grad = _dot_nn(resid.astype(w.dtype), w)
-    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg)
 
 
 def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
-                      z_out_ref, delta_ref, emulate=False):
+                      z_out_ref, delta_ref, emulate=False, nonneg=False):
     z = z_ref[:]
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w_hi = w_hi_ref[:]
@@ -159,7 +161,7 @@ def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
     r_hi, r_lo = _split_bf16(resid, emulate)
     grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
             + _dot_nn(r_lo, w_hi))
-    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg)
 
 
 # in/out tile budget; the split-float temporaries (y/resid hi+lo parts)
@@ -200,9 +202,10 @@ def supports_fused_step(x, z0, weight):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_n", "interpret", "kernel_precision"))
+                   static_argnames=("block_n", "interpret",
+                                    "kernel_precision", "nonneg"))
 def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
-                     interpret=False, kernel_precision="f32"):
+                     interpret=False, kernel_precision="f32", nonneg=False):
     """One fused FISTA step. Returns ``(z_next, delta)`` where
     ``delta = sum|z_next - z|`` (the convergence statistic).
 
@@ -238,11 +241,13 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
 
     if kernel_precision == "f32":
         w_hi, w_lo = _split_bf16_xla(weight)
-        kernel = functools.partial(_fista_kernel_f32, emulate=interpret)
+        kernel = functools.partial(_fista_kernel_f32, emulate=interpret,
+                                   nonneg=nonneg)
         w_args = (w_hi, w_lo)
         w_specs = [full_w(), full_w()]
     elif kernel_precision == "bf16":
-        kernel = functools.partial(_fista_kernel_bf16, emulate=interpret)
+        kernel = functools.partial(_fista_kernel_bf16, emulate=interpret,
+                                   nonneg=nonneg)
         # compiled: store the resident dictionary bf16 (half the VMEM,
         # numerically identical — the DEFAULT-precision dot truncates
         # it anyway); interpret keeps f32 + reduce_precision emulation
@@ -281,7 +286,7 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
 
 
 def _make_multistep_kernel(steps, split_float, restart=False,
-                           emulate=False):
+                           emulate=False, nonneg=False):
     """Build an S-step fused FISTA kernel body.
 
     FISTA is row-parallel over the batch: z_next for a tile depends only on
@@ -349,8 +354,8 @@ def _make_multistep_kernel(steps, split_float, restart=False,
                 # would do to f32 operands anyway
                 resid = _dot_nt(y.astype(w.dtype), w) - x
                 grad = _dot_nn(resid.astype(w.dtype), w)
-            z_new = soft_threshold(y - scal_ref[s, 0] * grad,
-                                   scal_ref[s, 1])
+            prox = soft_threshold_nonneg if nonneg else soft_threshold
+            z_new = prox(y - scal_ref[s, 0] * grad, scal_ref[s, 1])
             if restart:
                 rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
                                keepdims=True)
@@ -375,10 +380,10 @@ def _make_multistep_kernel(steps, split_float, restart=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "block_n", "interpret",
-                                    "kernel_precision"))
+                                    "kernel_precision", "nonneg"))
 def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
                           block_n=512, interpret=False,
-                          kernel_precision="f32", t_vec=None):
+                          kernel_precision="f32", t_vec=None, nonneg=False):
     """``steps`` fused FISTA iterations in ONE kernel invocation.
 
     ``lrs``/``threshs``/``moms`` are length-``steps`` vectors giving the
@@ -437,7 +442,8 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
                          f"{kernel_precision!r}")
 
     kernel = _make_multistep_kernel(steps, kernel_precision == "f32",
-                                    restart=restart, emulate=interpret)
+                                    restart=restart, emulate=interpret,
+                                    nonneg=nonneg)
 
     in_specs = [smem_in, tile_d, tile_k(), tile_k()] + w_specs
     in_args = [scal, x, z, z_prev, *w_args]

@@ -20,5 +20,14 @@ def soft_threshold(x, theta):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - theta, 0.0)
 
 
+def soft_threshold_nonneg(x, theta):
+    """prox of ``theta * ||.||_1 + i_{>=0}``: max(x - theta, 0).
+
+    The one-sided shrink of the non-negative lasso (the l1 term is
+    linear on the feasible orthant, so the prox is shift-then-project).
+    """
+    return jnp.maximum(x - theta, 0.0)
+
+
 # Alias matching the torch naming used by the reference.
 softshrink = soft_threshold
