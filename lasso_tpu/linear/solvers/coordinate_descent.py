@@ -28,7 +28,7 @@ from lasso_tpu.ops.shrink import (soft_threshold,
 
 def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
                   precision=None, use_pallas="auto", kernel_precision="f32",
-                  fuse_steps=8, nonneg=False, verbose=False,
+                  fuse_steps=8, nonneg=False, l2=0.0, verbose=False,
                   return_iters=False):
     """Greedy batched CD (reference cd.py:5-54).
 
@@ -58,18 +58,36 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
     stopping test. Requires the fused path (plain XLA runs f32).
     ``alpha`` may also be an [N]-vector of per-sample penalties (exact
     via lasso homogeneity — see ista's docstring and
-    ops.common.per_sample_alpha_column); the per-sample deactivation
-    threshold then acts in penalty-normalized units.
+    ops.common.per_sample_alpha_column) or a [1, K] row of per-feature
+    penalties, threaded natively as an elementwise shrink threshold
+    (ops.common.per_feature_alpha_row); the per-sample deactivation
+    threshold acts in penalty-normalized units only for the [N] form.
+
+    ``l2 > 0`` solves the ELASTIC NET (+ 0.5*l2*||z||^2, TPU
+    extension): for unit-norm atoms the exact coordinate minimizer is
+    ``shrink(b_k, alpha)/(1 + l2)``; the b-invariant is l2-independent,
+    so the greedy machinery (and the fused kernel) is otherwise
+    unchanged.
     """
-    from lasso_tpu.ops.common import per_sample_alpha_column
-    a_col = per_sample_alpha_column(alpha, x.shape[0])
+    from lasso_tpu.ops.common import (per_feature_alpha_row,
+                                      per_sample_alpha_column)
+    a_row = per_feature_alpha_row(alpha, W.shape[1], x.shape[0])
+    if a_row is not None:
+        # threads NATIVELY: greedy CD's coordinate update is
+        # shrink(b_k, a_k) (exact coordinate minimizer for unit-norm
+        # atoms), so the row broadcasts through the XLA path and rides
+        # the fused kernel as a VMEM threshold row. (Column rescaling
+        # would break the unit-norm assumption S = I - W^T W rests on.)
+        alpha = a_row.astype(jnp.float32)
+    a_col = (None if a_row is not None
+             else per_sample_alpha_column(alpha, x.shape[0]))
     if a_col is not None:
         a_col = a_col.astype(x.dtype)
         out = coord_descent(
             x / a_col, W, None if z0 is None else z0 / a_col, 1.0,
             maxiter=maxiter, tol=tol, precision=precision,
             use_pallas=use_pallas, kernel_precision=kernel_precision,
-            fuse_steps=fuse_steps, nonneg=nonneg, verbose=verbose,
+            fuse_steps=fuse_steps, nonneg=nonneg, l2=l2, verbose=verbose,
             return_iters=return_iters)
         if return_iters:
             z_u, it = out
@@ -107,15 +125,19 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         return jnp.logical_and(jnp.any(active), k < maxiter)
 
     prox = soft_threshold_nonneg if nonneg else soft_threshold
+    # elastic-net coordinate contraction: shrink(b_k, alpha)/(1 + l2) is
+    # the exact coordinate minimizer for unit-norm atoms (1 for l2=0)
+    cd_scale = 1.0 / (1.0 + jnp.asarray(l2, x.dtype))
 
     def body(state):
         z, b, active, it = state
-        z_cand = prox(b, alpha)
+        z_cand = prox(b, alpha) * cd_scale
         if verbose:
             # per-iteration loss of softshrink(b, alpha) (cd.py:49-50)
             resid_v = jnp.matmul(z_cand, W.T, precision=prec) - x
             loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
-                      + alpha * jnp.sum(jnp.abs(z_cand)))
+                      + jnp.sum(alpha * jnp.abs(z_cand))
+                      + 0.5 * l2 * jnp.sum(jnp.square(z_cand)))
             jax.debug.print("iter {i} - loss: {l:.4f}", i=it, l=loss_v)
         diff = z_cand - z
         k = jnp.argmax(jnp.abs(diff), axis=1)                  # [N]
@@ -157,7 +179,7 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
                 b_new, z_new, act_new = fused_cd_steps(
                     b, z, act, S, alpha, tol_k, steps=T,
                     interpret=interpret, kernel_precision=kp,
-                    nonneg=nonneg)
+                    nonneg=nonneg, l2=l2)
                 return (z_new, b_new, act_new, it + T)
 
             return cond_f, body_f
@@ -182,14 +204,14 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
         state = (z_c, b_c, act_c[:, 0] > 0, it_c)
 
     z, b, _, it = lax.while_loop(cond, body, state)
-    zf = prox(b, alpha)
+    zf = prox(b, alpha) * cd_scale
     if return_iters:
         return zf, it
     return zf
 
 
 def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
-                      precision=None, use_pallas="auto",
+                      l2=0.0, precision=None, use_pallas="auto",
                       return_iters=False):
     """Cyclic CD with duality-gap convergence (reference cd.py:57-138).
 
@@ -203,6 +225,13 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
     by dynamic sublane loads — :func:`lasso_tpu.ops.fused_cd.
     fused_cd_mod_sweep`); the duality-gap check between sweeps stays in
     XLA. Identical arithmetic to the unfused sweep.
+
+    ``l2 > 0`` solves the ELASTIC NET (+ 0.5*l2*||z||^2, TPU
+    extension): this is the sklearn ``enet_coordinate_descent`` beta
+    term the reference's port dropped — the coordinate denominator
+    becomes ``||w_j||^2 + l2`` and the duality gap takes the enet form
+    (XtA gains ``-l2*z``, the gap the
+    ``0.5*l2*(1+const^2)*||z||^2`` term).
     """
     from lasso_tpu.ops.common import resolve_pallas
     from lasso_tpu.ops.fused_cd import (fused_cd_mod_sweep,
@@ -224,15 +253,19 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
     norm_cols_X = jnp.sum(jnp.square(W), axis=0)               # [K]
 
     def check_convergence(z, R, tol_s):
-        """Per-sample duality gap (reference cd.py:87-99)."""
-        XtA = jnp.matmul(R, W, precision=prec)                 # [N, K]
+        """Per-sample duality gap (reference cd.py:87-99); with
+        ``l2 > 0`` the elastic-net form (sklearn enet_coordinate_descent:
+        XtA gains -l2*z and the gap the 0.5*l2*(1+const^2)*||z||^2
+        term)."""
+        XtA = jnp.matmul(R, W, precision=prec) - l2 * z        # [N, K]
         dual_norm = jnp.max(jnp.abs(XtA), axis=1)              # [N]
         R_norm2 = jnp.sum(jnp.square(R), axis=1)               # [N]
         small = dual_norm <= alpha
         const = jnp.where(small, 1.0, alpha / jnp.where(small, 1.0, dual_norm))
         gap = jnp.where(small, R_norm2, 0.5 * R_norm2 * (1 + const ** 2))
         gap = gap + alpha * jnp.sum(jnp.abs(z), axis=1) \
-            - const * jnp.sum(R * x, axis=1)
+            - const * jnp.sum(R * x, axis=1) \
+            + 0.5 * l2 * (1 + const ** 2) * jnp.sum(jnp.square(z), axis=1)
         return gap < tol_s, gap
 
     R0 = x - jnp.matmul(z0, W.T, precision=prec)
@@ -250,7 +283,8 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
         R1 = R + jnp.where(add_mask, z_i, 0.0)[:, None] * atom[None, :]
 
         rho = jnp.matmul(R1, atom, precision=prec)             # [N]
-        z_i_new = soft_threshold(rho, alpha) / jnp.where(col_ok, norm_cols_X[i], 1.0)
+        z_i_new = soft_threshold(rho, alpha) \
+            / (jnp.where(col_ok, norm_cols_X[i], 1.0) + l2)
         z_i_new = jnp.where(active, z_i_new, z_i)
 
         sub_mask = jnp.logical_and(active, z_i_new != 0)
@@ -275,7 +309,7 @@ def coord_descent_mod(x, W, z0=None, alpha=1.0, max_iter=1000, tol=1e-4,
         z, R, gap, converged, n_iter = state
         if fused_sweep:
             z, R, z_max, d_z_max = fused_cd_mod_sweep(
-                z, R, converged, W, norm_cols_X, alpha,
+                z, R, converged, W, norm_cols_X, alpha, l2=l2,
                 interpret=interpret)
         else:
             z_max0 = jnp.zeros((n_samples,), x.dtype)

@@ -32,24 +32,29 @@ from lasso_tpu.ops.shrink import (soft_threshold,
 
 
 def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec,
-                       shrink=soft_threshold):
+                       shrink=soft_threshold, l2=0.0):
     """One FISTA step with backtracking (reference ista.py:17-54).
 
     Gradient is evaluated once at ``z``; the inner loop shrinks the step size
     until ``F(z_next) <= Q(z_next, lr)``. Returns ``(z_next, lr)``.
+    The majorization test keeps the smooth part = RSS only; the
+    nonsmooth ``g = alpha|z| + 0.5*l2*z^2`` appears on both sides.
     """
     resid_0 = jnp.matmul(z, weight.T, precision=prec) - x
     fval_0 = 0.5 * jnp.sum(jnp.square(resid_0))
     fgrad_0 = jnp.matmul(resid_0, weight, precision=prec)
 
     def trial(lr):
-        z_next = shrink(z - lr * fgrad_0, alpha * lr)
+        z_next = shrink(z - lr * fgrad_0, alpha * lr) / (1.0 + l2 * lr)
         resid_1 = jnp.matmul(z_next, weight.T, precision=prec) - x
-        l1 = alpha * jnp.sum(jnp.abs(z_next))
-        F_next = 0.5 * jnp.sum(jnp.square(resid_1)) + l1
+        # sum(alpha * |z|): == alpha * ||z||_1 for scalar alpha, and the
+        # weighted-lasso penalty when alpha is a per-feature [1, K] row
+        g1 = (jnp.sum(alpha * jnp.abs(z_next))
+              + 0.5 * l2 * jnp.sum(jnp.square(z_next)))
+        F_next = 0.5 * jnp.sum(jnp.square(resid_1)) + g1
         dz = z_next - z
         Q_next = (fval_0 + jnp.sum(dz * fgrad_0)
-                  + (0.5 / lr) * jnp.sum(jnp.square(dz)) + l1)
+                  + (0.5 / lr) * jnp.sum(jnp.square(dz)) + g1)
         return z_next, F_next <= Q_next
 
     def cond(state):
@@ -67,7 +72,7 @@ def _backtracking_step(z, x, weight, alpha, lr0, eta, maxiter, prec,
         cond, body, (z_init, jnp.asarray(lr0, z.dtype), jnp.asarray(False), 0))
 
     # on failure, revert to the base step size (reference ista.py:48-52)
-    z_fail = shrink(z - lr0 * fgrad_0, alpha * lr0)
+    z_fail = shrink(z - lr0 * fgrad_0, alpha * lr0) / (1.0 + l2 * lr0)
     z_next = jnp.where(accepted, z_next, z_fail)
     lr = jnp.where(accepted, lr, lr0)
     return z_next, lr
@@ -114,7 +119,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", mixed_tail="auto",
          axis_name=None, per_sample_tol=False, restart=False, nonneg=False,
-         verbose=False, return_iters=False):
+         l2=0.0, verbose=False, return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -186,6 +191,19 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     ``kernel_precision='mixed'`` (the per-row t-vector carries across
     the bf16 -> f32 phase switch).
 
+    ``l2 > 0`` solves the ELASTIC NET
+    ``min_z 0.5||z W^T - x||^2 + alpha||z||_1 + 0.5*l2*||z||^2`` (TPU
+    extension; the reference is lasso-only). The quadratic joins the
+    NONSMOOTH part: its prox is the lasso shrink followed by the
+    contraction ``1/(1 + l2*lr)`` — one VPU multiply in the kernel
+    epilogue, the smooth Lipschitz constant (and so ``lr='auto'``) is
+    untouched, and strong convexity improves conditioning. Composes
+    with every path (fused kernels, mixed precision, restart,
+    backtracking, nonneg, per-sample and per-feature alpha). sklearn's
+    ``ElasticNet(alpha=a, l1_ratio=r)`` on row-samples corresponds to
+    ``alpha = N_d*a*r, l2 = N_d*a*(1-r)`` in this (unnormalized)
+    objective, with ``N_d`` sklearn's sample-count scaling.
+
     ``nonneg=True`` solves the NON-NEGATIVE lasso
     ``min_{z>=0} 0.5||z W^T - x||^2 + alpha 1'z`` (TPU extension; the
     reference has no constrained variant): the prox becomes the
@@ -193,21 +211,36 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     iteration structure, so every path (fused kernels, precision
     continuation, restart, backtracking, per-sample alpha) composes.
 
-    ``alpha`` may be a scalar (reference parity) or an [N]-vector of
-    per-sample penalties (TPU extension: one batch sweeps a
-    regularization path / per-request penalties at full throughput).
-    The vector form solves the exactly-equivalent alpha=1 problem on
+    ``alpha`` may be a scalar (reference parity), an [N]-vector of
+    per-sample penalties, or a [1, K] row of per-feature (per-atom)
+    penalties — the weighted / adaptive lasso (TPU extensions: one
+    batch sweeps a regularization path / per-request penalties at full
+    throughput; per-atom weights encode prior atom preferences). The
+    per-sample form solves the exactly-equivalent alpha=1 problem on
     row-rescaled inputs (lasso homogeneity — see
-    ops.common.per_sample_alpha_column), so every kernel/precision/
-    restart path applies unchanged; convergence (and ``verbose`` loss
-    prints) are then measured in penalty-normalized units
-    (row i's contribution scaled by 1/alpha_i).
+    ops.common.per_sample_alpha_column); convergence and ``verbose``
+    are then in penalty-normalized units. The per-feature form threads
+    NATIVELY: the prox threshold is elementwise, so the row broadcasts
+    through the XLA path and rides the fused kernels as a
+    VMEM-resident threshold row (ops.common.per_feature_alpha_row) —
+    lr, tol, and verbose semantics are untouched.
 
     Returns codes ``z`` ([N, K]); with ``return_iters=True`` also the number
     of iterations executed (device scalar).
     """
-    from lasso_tpu.ops.common import per_sample_alpha_column
-    a_col = per_sample_alpha_column(alpha, x.shape[0])
+    from lasso_tpu.ops.common import (per_feature_alpha_row,
+                                      per_sample_alpha_column)
+    a_row = per_feature_alpha_row(alpha, weight.shape[1], x.shape[0])
+    if a_row is not None:
+        # threads NATIVELY: the prox threshold is elementwise, so a
+        # [1, K] alpha broadcasts through the XLA path for free and
+        # rides the fused kernels as a VMEM-resident threshold row. (A
+        # column-rescaled reduction W/diag(a) would also be exact but
+        # inflates the Lipschitz constant by 1/min(a)^2 — native
+        # threading keeps L, lr, and tol semantics untouched.)
+        alpha = a_row.astype(jnp.float32)
+    a_col = (None if a_row is not None
+             else per_sample_alpha_column(alpha, x.shape[0]))
     if a_col is not None:
         a_col = a_col.astype(x.dtype)
         out = ista(x / a_col, z0 / a_col, weight, 1.0, fast=fast, lr=lr,
@@ -219,7 +252,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                    kernel_precision=kernel_precision,
                    fuse_steps=fuse_steps, mixed_tail=mixed_tail,
                    axis_name=axis_name, per_sample_tol=per_sample_tol,
-                   restart=restart, nonneg=nonneg, verbose=verbose,
+                   restart=restart, nonneg=nonneg, l2=l2, verbose=verbose,
                    return_iters=return_iters)
         if return_iters:
             z_u, k = out
@@ -238,6 +271,10 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         L = lipschitz_constant(weight, maxiter=power_iters, precision=prec)
         lr = 1.0 / L
     lr = jnp.asarray(lr, x.dtype)
+    # elastic-net prox contraction (1 for l2=0): the l2 quadratic lives
+    # in the nonsmooth part, so the smooth Lipschitz constant (and lr)
+    # is untouched
+    prox_scale = 1.0 / (1.0 + jnp.asarray(l2, x.dtype) * lr)
     tol_total = z0.size * tol
     if axis_name is not None:
         # global numel * tol: each shard contributes its local numel * tol
@@ -257,9 +294,10 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         if backtrack:
             z_next, _ = _backtracking_step(
                 z_prev, x, weight, alpha, lr, eta_backtrack,
-                backtrack_maxiter, prec, shrink=shrink)
+                backtrack_maxiter, prec, shrink=shrink, l2=l2)
             return z_next
-        return shrink(z_prev - lr * rss_grad(z_prev), alpha * lr)
+        return shrink(z_prev - lr * rss_grad(z_prev), alpha * lr) \
+            * prox_scale
 
     def cond(state):
         _, _, _, _, k, done = state
@@ -279,7 +317,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # debug callback so it works inside the compiled loop
             resid_v = jnp.matmul(z, weight.T, precision=prec) - x
             loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
-                      + alpha * jnp.sum(jnp.abs(z))) / x.shape[0]
+                      + jnp.sum(alpha * jnp.abs(z))
+                      + 0.5 * l2 * jnp.sum(jnp.square(z))) / x.shape[0]
             jax.debug.print("loss: {l:.4f}", l=loss_v)
         if fused:
             z_next, delta = fused_fista_step(
@@ -287,7 +326,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 # under 'mixed' any single-step remainder belongs to the
                 # f32 refinement tail
                 kernel_precision=("f32" if kernel_precision == "mixed"
-                                  else kernel_precision), nonneg=nonneg)
+                                  else kernel_precision), nonneg=nonneg,
+                l2=l2)
         else:
             y = z + mom * (z - z_prev)
             z_next = step(y)
@@ -351,7 +391,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # (0-1)/1 = -1 against a zero (z - z_prev) difference
             t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_vec * t_vec)) * 0.5
             y = z + ((t_vec - 1.0) / t_next) * (z - z_prev)
-            z_new = shrink(y - lr * rss_grad(y), alpha * lr)
+            z_new = shrink(y - lr * rss_grad(y), alpha * lr) * prox_scale
             rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
                            keepdims=True)
             t_new = jnp.where(rdot > 0, 1.0, t_next)
@@ -368,7 +408,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 # restart path mirrors the non-restart body's verbose
                 resid_v = jnp.matmul(z, weight.T, precision=prec) - x
                 loss_v = (0.5 * jnp.sum(jnp.square(resid_v))
-                          + alpha * jnp.sum(jnp.abs(z))) / x.shape[0]
+                          + jnp.sum(alpha * jnp.abs(z))
+                          + 0.5 * l2 * jnp.sum(jnp.square(z))) \
+                    / x.shape[0]
                 jax.debug.print("loss: {l:.4f}", l=loss_v)
             z_new, z_pen, t_new = xla_restart_step(z, z_prev, t_vec)
             delta = jnp.sum(jnp.abs(z_new - z))
@@ -381,7 +423,11 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
 
         if fused and S > 1:
             lr_s = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), (S,))
-            th_s = lr_s * jnp.asarray(alpha, jnp.float32)
+            a_f32 = jnp.asarray(alpha, jnp.float32)
+            # per-feature [1, K] alpha: the kernel takes the threshold
+            # row (alpha * lr) directly; otherwise per-sub-step scalars
+            th_s = (a_f32 * jnp.asarray(lr, jnp.float32)
+                    if a_f32.ndim == 2 else lr_s * a_f32)
 
             def make_rm(kp, limit):
                 def cond_rm(st):
@@ -394,7 +440,8 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                     z_new, z_pen, t_new, delta = fused_fista_multistep(
                         x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
                         steps=S, interpret=interpret,
-                        kernel_precision=kp, t_vec=t_vec, nonneg=nonneg)
+                        kernel_precision=kp, t_vec=t_vec, nonneg=nonneg,
+                        l2=l2)
                     if axis_name is not None:
                         delta = lax.psum(delta, axis_name)
                     return (z_new, z_pen, t_new, k + S,
@@ -449,7 +496,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                 z_next, z_pen, delta = fused_fista_multistep(
                     x, z, z_prev, weight, lr, alpha * lr,
                     jnp.stack(mom_list), steps=S, interpret=interpret,
-                    kernel_precision=kp, nonneg=nonneg)
+                    kernel_precision=kp, nonneg=nonneg, l2=l2)
                 if axis_name is not None:
                     delta = lax.psum(delta, axis_name)
                 done = delta <= tol_total

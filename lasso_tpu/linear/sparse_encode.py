@@ -26,6 +26,7 @@ _init_defaults = {
     "interior-point": "ridge",
     "split-bregman": "zero",
     "own": "zero",
+    "omp": "zero",   # unused: OMP takes no z0 (support built greedily)
 }
 
 
@@ -64,7 +65,9 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
 
     Dispatch table mirrors reference sparse_encode.py:54-71, plus the
     ``cd-mod`` entry for the duality-gap coordinate-descent variant that the
-    reference ships but does not dispatch.
+    reference ships but does not dispatch, and ``omp`` (batched
+    orthogonal matching pursuit — TPU extension; ``alpha``/``z0`` are
+    ignored, pass ``n_nonzero_coefs``/``tol``).
 
     ``return_iters=True`` returns ``(z, n_iter)`` for every algorithm
     (the executed iteration count from the solver's aux — the uniform
@@ -75,15 +78,44 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
     homogeneous in alpha, so the vector solve is the alpha=1 solve on
     row-rescaled inputs (ops.common.per_sample_alpha_column). ista and
     cd implement this natively; the remaining algorithms are wrapped
-    here. Convergence tolerances then act in penalty-normalized units.
+    here. ``alpha`` may also be a [1, K] row of per-feature (per-atom)
+    penalties — the weighted / adaptive lasso — solved exactly on a
+    column-rescaled dictionary (ops.common.per_feature_alpha_row).
+    Convergence tolerances then act in penalty-normalized units.
     """
     from lasso_tpu.linear import solvers
-    from lasso_tpu.ops.common import per_sample_alpha_column
+    from lasso_tpu.ops.common import (per_feature_alpha_row,
+                                      per_sample_alpha_column)
 
     n_samples = x.shape[0]
     n_components = weight.shape[1]
 
-    a_col = per_sample_alpha_column(alpha, n_samples)
+    if algorithm == "omp":
+        # OMP is the L0 greedy solver: alpha and z0 play no role (its
+        # budget is n_nonzero_coefs / tol), so the vector-alpha wrappers
+        # and code initialization are skipped entirely
+        out = solvers.orthogonal_matching_pursuit(
+            x, weight, return_iters=return_iters, **kwargs)
+        return out
+
+    a_row = per_feature_alpha_row(alpha, n_components, n_samples)
+    if a_row is not None and algorithm not in ("ista", "cd"):
+        # generic column-rescaling wrapper for solvers without native
+        # per-feature-alpha support (ista/cd rescale internally)
+        a_row = a_row.astype(x.dtype)
+        out = sparse_encode(
+            x, weight / a_row, 1.0,
+            z0=None if z0 is None else z0 * a_row, algorithm=algorithm,
+            init=init, key=key, return_iters=return_iters, **kwargs)
+        if return_iters:
+            z_u, n_iter = out
+            return z_u / a_row, n_iter
+        return out / a_row
+
+    # ista/cd handle the per-feature row natively; don't let the
+    # per-sample resolver reject its [1, K] shape
+    a_col = (None if a_row is not None
+             else per_sample_alpha_column(alpha, n_samples))
     if a_col is not None and algorithm not in ("ista", "cd"):
         # generic homogeneity wrapper for solvers without native
         # vector-alpha support (ista/cd rescale internally)

@@ -87,3 +87,45 @@ def per_sample_alpha_column(alpha, batch_size, ndim=2):
         if not bool(np.all(np.asarray(arr) > 0)):
             raise ValueError("per-sample alpha entries must be > 0")
     return arr.reshape((batch_size,) + (1,) * (ndim - 1))
+
+
+def per_feature_alpha_row(alpha, n_components, n_samples=None):
+    """Resolve a per-feature (per-atom) penalty vector to a [1, K] row.
+
+    Returns ``None`` when ``alpha`` is a scalar or is a per-SAMPLE form
+    (handled by :func:`per_sample_alpha_column`), else a ``[1, K]`` array.
+    Accepted per-feature shapes: ``(1, K)`` always; bare ``(K,)`` only
+    when unambiguous (``K != n_samples`` — an ``(N,)``-vector is
+    per-sample). When ``K == N``, pass shape ``(1, K)`` explicitly.
+
+    Solvers use this to support ``alpha`` as a per-atom weight vector
+    (a weighted lasso / adaptive lasso) through an exact column
+    rescaling: with ``a_k > 0`` and ``u = z * a`` (columnwise),
+
+        min_z 0.5 ||z W^T - x||^2 + sum_k a_k |z_{:,k}|
+          = (1/a) * argmin_u 0.5 ||u (W diag(1/a))^T - x||^2 + ||u||_1
+
+    so the weighted solve IS the alpha=1 solve on a column-rescaled
+    dictionary — every kernel, precision schedule, and restart path
+    applies unchanged. Note ``lr='auto'`` re-estimates the Lipschitz
+    constant of the rescaled dictionary; an explicit numeric ``lr``
+    is interpreted as the step size for the rescaled problem.
+
+    Positivity is checked when ``alpha`` is concrete; traced values are
+    the caller's contract (a zero entry divides by zero).
+    """
+    import numpy as np
+    import jax
+
+    arr = jnp.asarray(alpha)
+    if arr.ndim == 0:
+        return None
+    is_row = arr.shape == (1, n_components) and n_components != 1
+    is_bare = (arr.shape == (n_components,)
+               and (n_samples is None or n_components != n_samples))
+    if not (is_row or is_bare):
+        return None
+    if not isinstance(arr, jax.core.Tracer):
+        if not bool(np.all(np.asarray(arr) > 0)):
+            raise ValueError("per-feature alpha entries must be > 0")
+    return arr.reshape(1, n_components)

@@ -34,16 +34,21 @@ from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
 
 
-def _make_cd_kernel(steps, split_float, K, nonneg=False):
+def _make_cd_kernel(steps, split_float, K, nonneg=False, has_row=False):
     def kernel(scal_ref, b_ref, z_ref, act_ref, *refs):
+        refs = list(refs)
         if split_float:
-            s_hi_ref, s_lo_ref, b_out_ref, z_out_ref, act_out_ref = refs
-            s_hi, s_lo = s_hi_ref[:], s_lo_ref[:]
+            s_hi, s_lo = refs.pop(0)[:], refs.pop(0)[:]
         else:
-            s_ref, b_out_ref, z_out_ref, act_out_ref = refs
-            s = s_ref[:]
-        alpha = scal_ref[0, 0]
+            s = refs.pop(0)[:]
+        # per-feature [1, K] threshold row (weighted lasso) or scalar
+        alpha = refs.pop(0)[:] if has_row else scal_ref[0, 0]
+        b_out_ref, z_out_ref, act_out_ref = refs
         tol_k = scal_ref[0, 1]
+        # scal[0, 2] = 1/(1 + l2): elastic-net coordinate contraction
+        # (the exact coordinate minimizer for unit-norm atoms is
+        # shrink(b_k, alpha)/(1 + l2))
+        scale = scal_ref[0, 2]
         b = b_ref[:]
         z = z_ref[:]
         act = act_ref[:]                      # [bn, 1] float 0/1
@@ -51,7 +56,7 @@ def _make_cd_kernel(steps, split_float, K, nonneg=False):
         iota = lax.broadcasted_iota(jnp.int32, (bn, K), 1)
         prox = soft_threshold_nonneg if nonneg else soft_threshold
         for _ in range(steps):
-            z_cand = prox(b, alpha)
+            z_cand = prox(b, alpha) * scale
             diff = z_cand - z
             absdiff = jnp.abs(diff)
             m = jnp.max(absdiff, axis=1, keepdims=True)        # [bn, 1]
@@ -91,16 +96,20 @@ def supports_fused_cd(b, weight):
                    static_argnames=("steps", "block_n", "interpret",
                                     "kernel_precision", "nonneg"))
 def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
-                   interpret=False, kernel_precision="f32", nonneg=False):
+                   interpret=False, kernel_precision="f32", nonneg=False,
+                   l2=0.0):
     """``steps`` fused greedy-CD iterations. Returns ``(b, z, active)``.
 
     b, z: [N, K]; active: [N, 1] float 0/1 mask; S: [K, K] = I - W^T W.
     ``alpha`` (shrink threshold) and ``tol_k`` (per-sample deactivation
-    threshold, tol * K) may be traced scalars.
+    threshold, tol * K) may be traced scalars; ``alpha`` may also be a
+    per-feature [1, K] row (weighted lasso) riding in VMEM.
     """
     from lasso_tpu.ops.common import largest_aligned_divisor
 
     N, K = b.shape
+    a_arr = jnp.asarray(alpha, jnp.float32)
+    has_row = a_arr.ndim == 2
     block_n = largest_aligned_divisor(N, min(block_n, N))
     s_bytes = (4 if kernel_precision == "f32" else 2) * K * K
     while block_n > 8 and s_bytes + 2 * (4 * block_n * K * 4) \
@@ -109,10 +118,13 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
     assert N % block_n == 0
     grid = (N // block_n,)
 
-    scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
-                      jnp.asarray(tol_k, jnp.float32)]).reshape(1, 2)
+    scal = jnp.stack([jnp.asarray(0.0, jnp.float32) if has_row
+                      else a_arr,
+                      jnp.asarray(tol_k, jnp.float32),
+                      1.0 / (1.0 + jnp.asarray(l2, jnp.float32))]
+                     ).reshape(1, 3)
 
-    smem = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
     tile_k = lambda: pl.BlockSpec((block_n, K), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     tile_1 = lambda: pl.BlockSpec((block_n, 1), lambda i: (i, 0),
@@ -133,8 +145,13 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
                          f"{kernel_precision!r}")
 
+    if has_row:
+        s_args = s_args + (a_arr,)
+        s_specs = s_specs + [pl.BlockSpec((1, K), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)]
+
     kernel = _make_cd_kernel(steps, kernel_precision == "f32", K,
-                             nonneg=nonneg)
+                             nonneg=nonneg, has_row=has_row)
 
     b_out, z_out, act_out = pl.pallas_call(
         kernel,
@@ -159,7 +176,7 @@ def fused_cd_steps(b, z, active, S, alpha, tol_k, steps=8, block_n=256,
     return b_out, z_out, act_out
 
 
-def cd_steps_reference(b, z, active, S, alpha, tol_k, steps=1):
+def cd_steps_reference(b, z, active, S, alpha, tol_k, steps=1, l2=0.0):
     """jnp twin of the fused kernel (fallback and tests). Performs the
     same arithmetic including the bf16-split gather rounding."""
     s_hi, s_lo = _split_bf16_xla(S)
@@ -167,7 +184,7 @@ def cd_steps_reference(b, z, active, S, alpha, tol_k, steps=1):
     N, K = b.shape
     rows_i = jnp.arange(N)
     for _ in range(steps):
-        z_cand = soft_threshold(b, alpha)
+        z_cand = soft_threshold(b, alpha) / (1.0 + l2)
         diff = z_cand - z
         k = jnp.argmax(jnp.abs(diff), axis=1)                  # [N]
         dz = jnp.take_along_axis(diff, k[:, None], axis=1)     # [N, 1]
@@ -194,6 +211,7 @@ def _make_cd_mod_kernel(K, D):
         # which is exactly the in-place sweep semantics
         del zT_in_ref
         alpha = scal_ref[0, 0]
+        l2 = scal_ref[0, 1]
         R = r_ref[:]                                   # [bn, D]
         active_s = conv_ref[:]                         # [bn, 1] 1=active
         bn = R.shape[0]
@@ -213,8 +231,9 @@ def _make_cd_mod_kernel(K, D):
             # avoids materializing the add-back residual R1
             rho = (jnp.sum(R * wj, axis=1, keepdims=True)
                    + add * nj[0, 0])                         # [bn, 1]
-            z_new = (soft_threshold(rho, alpha)
-                     / jnp.where(nj[0, 0] != 0, nj[0, 0], 1.0))
+            # elastic net: sklearn's enet denominator ||w_j||^2 + l2
+            denom = jnp.where(nj[0, 0] != 0, nj[0, 0], 1.0) + l2
+            z_new = soft_threshold(rho, alpha) / denom
             z_new = jnp.where(act > 0, z_new, zj)
             sub = act * jnp.where(z_new != 0, z_new, 0.0)
             # single fused rank-1 correction (add-back minus re-subtract)
@@ -242,7 +261,7 @@ def supports_fused_cd_mod(z, weight):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_cd_mod_sweep(z, R, converged, weight, norm_cols, alpha,
-                       interpret=False):
+                       l2=0.0, interpret=False):
     """One cyclic coordinate-descent sweep over all K components.
 
     z, R: [N, K] / [N, D]; converged: [N] bool (frozen samples);
@@ -268,13 +287,14 @@ def fused_cd_mod_sweep(z, R, converged, weight, norm_cols, alpha,
     assert N % bl == 0
     grid = (N // bl,)
 
-    scal = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    scal = jnp.stack([jnp.asarray(alpha, jnp.float32),
+                      jnp.asarray(l2, jnp.float32)]).reshape(1, 2)
     Wt = weight.T                                   # [K, D]
     nrm = jnp.asarray(norm_cols, jnp.float32).reshape(K, 1)
     zT = z.T                                        # [K, N]
     act = (~converged).astype(jnp.float32)[:, None]  # [N, 1]
 
-    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     full_nrm = pl.BlockSpec((K, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     full_wt = pl.BlockSpec((K, D), lambda i: (0, 0),

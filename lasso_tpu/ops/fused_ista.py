@@ -112,11 +112,15 @@ def _round_bf16(a):
     return jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
 
 
-def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg=False):
+def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg=False,
+              thresh=None):
     lr = scal_ref[0, 0]
-    thresh = scal_ref[0, 1]   # alpha * lr
+    if thresh is None:
+        thresh = scal_ref[0, 1]   # alpha * lr
     prox = soft_threshold_nonneg if nonneg else soft_threshold
-    z_next = prox(y - lr * grad, thresh)
+    # scal[0, 3] = 1/(1 + l2*lr): the elastic-net prox is the lasso
+    # shrink followed by a multiplicative contraction (1 for l2=0)
+    z_next = prox(y - lr * grad, thresh) * scal_ref[0, 3]
     z_out_ref[:] = z_next
 
     # accumulate the convergence statistic across the (sequential) grid
@@ -127,8 +131,14 @@ def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg=False):
     delta_ref[0, 0] += jnp.sum(jnp.abs(z_next - z))
 
 
-def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
-                       z_out_ref, delta_ref, emulate=False, nonneg=False):
+def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref, *refs,
+                       emulate=False, nonneg=False, has_row=False):
+    if has_row:   # per-feature threshold row [1, K] (already * lr)
+        trow_ref, z_out_ref, delta_ref = refs
+        thresh = trow_ref[:]
+    else:
+        z_out_ref, delta_ref = refs
+        thresh = None
     z = z_ref[:]
     # momentum point formed in-register: y = z + mom * (z - z_prev)
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
@@ -144,11 +154,17 @@ def _fista_kernel_bf16(scal_ref, x_ref, z_ref, zp_ref, w_ref,
         # activation casts match Mosaic's DEFAULT-precision truncation
         resid = _dot_nt(y.astype(w.dtype), w) - x_ref[:]
         grad = _dot_nn(resid.astype(w.dtype), w)
-    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg, thresh)
 
 
 def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
-                      z_out_ref, delta_ref, emulate=False, nonneg=False):
+                      *refs, emulate=False, nonneg=False, has_row=False):
+    if has_row:
+        trow_ref, z_out_ref, delta_ref = refs
+        thresh = trow_ref[:]
+    else:
+        z_out_ref, delta_ref = refs
+        thresh = None
     z = z_ref[:]
     y = z + scal_ref[0, 2] * (z - zp_ref[:])
     w_hi = w_hi_ref[:]
@@ -161,7 +177,7 @@ def _fista_kernel_f32(scal_ref, x_ref, z_ref, zp_ref, w_hi_ref, w_lo_ref,
     r_hi, r_lo = _split_bf16(resid, emulate)
     grad = (_dot_nn(r_hi, w_hi) + _dot_nn(r_hi, w_lo)
             + _dot_nn(r_lo, w_hi))
-    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg)
+    _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg, thresh)
 
 
 # in/out tile budget; the split-float temporaries (y/resid hi+lo parts)
@@ -205,9 +221,14 @@ def supports_fused_step(x, z0, weight):
                    static_argnames=("block_n", "interpret",
                                     "kernel_precision", "nonneg"))
 def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
-                     interpret=False, kernel_precision="f32", nonneg=False):
+                     interpret=False, kernel_precision="f32", nonneg=False,
+                     l2=0.0):
     """One fused FISTA step. Returns ``(z_next, delta)`` where
     ``delta = sum|z_next - z|`` (the convergence statistic).
+
+    ``l2 > 0`` solves the ELASTIC NET (+ 0.5*l2*||z||^2): the prox
+    gains a multiplicative contraction 1/(1 + l2*lr) after the shrink —
+    one VPU multiply, the smooth part (and so lr) is unchanged.
 
     The momentum point ``y = z + mom * (z - z_prev)`` is formed inside the
     kernel, so the iteration carries only ``(z, z_prev)`` — HBM traffic is
@@ -216,7 +237,9 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     x: [N, D], z/z_prev: [N, K], weight: [D, K]; lr/alpha/mom may be
     traced. ``mom`` must be the momentum coefficient for *this* step's y
     (i.e. lagged one iteration relative to the t-update; see
-    linear/solvers/ista.py).
+    linear/solvers/ista.py). ``alpha`` may be a scalar or a per-feature
+    [1, K] row (weighted lasso): the row rides in VMEM as a broadcast
+    threshold — the elementwise prox costs the same either way.
     """
     N, D = x.shape
     K = weight.shape[1]
@@ -224,13 +247,17 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     block_n = _pick_block_n(N, D, K, w_bytes, block_n)
     grid = (N // block_n,)
 
+    a_arr = jnp.asarray(alpha, jnp.float32)
+    has_row = a_arr.ndim > 0
+    lr_f = jnp.asarray(lr, jnp.float32)
     scal = jnp.stack([
-        jnp.asarray(lr, jnp.float32),
-        jnp.asarray(alpha, jnp.float32) * jnp.asarray(lr, jnp.float32),
+        lr_f,
+        (jnp.asarray(0.0, jnp.float32) if has_row else a_arr) * lr_f,
         jnp.asarray(mom, jnp.float32),
-    ]).reshape(1, 3)
+        1.0 / (1.0 + jnp.asarray(l2, jnp.float32) * lr_f),
+    ]).reshape(1, 4)
 
-    smem = lambda: pl.BlockSpec((1, 3), lambda i: (0, 0),
+    smem = lambda: pl.BlockSpec((1, 4), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
     tile_d = lambda: pl.BlockSpec((block_n, D), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
@@ -242,12 +269,12 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     if kernel_precision == "f32":
         w_hi, w_lo = _split_bf16_xla(weight)
         kernel = functools.partial(_fista_kernel_f32, emulate=interpret,
-                                   nonneg=nonneg)
+                                   nonneg=nonneg, has_row=has_row)
         w_args = (w_hi, w_lo)
         w_specs = [full_w(), full_w()]
     elif kernel_precision == "bf16":
         kernel = functools.partial(_fista_kernel_bf16, emulate=interpret,
-                                   nonneg=nonneg)
+                                   nonneg=nonneg, has_row=has_row)
         # compiled: store the resident dictionary bf16 (half the VMEM,
         # numerically identical — the DEFAULT-precision dot truncates
         # it anyway); interpret keeps f32 + reduce_precision emulation
@@ -256,6 +283,12 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
     else:
         raise ValueError(f"kernel_precision must be 'f32' or 'bf16', got "
                          f"{kernel_precision!r}")
+
+    if has_row:
+        w_args = w_args + (a_arr.reshape(1, K)
+                           * jnp.asarray(lr, jnp.float32),)
+        w_specs = w_specs + [pl.BlockSpec((1, K), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)]
 
     z_next, delta = pl.pallas_call(
         kernel,
@@ -286,7 +319,7 @@ def fused_fista_step(x, z, z_prev, weight, lr, alpha, mom, block_n=256,
 
 
 def _make_multistep_kernel(steps, split_float, restart=False,
-                           emulate=False, nonneg=False):
+                           emulate=False, nonneg=False, has_row=False):
     """Build an S-step fused FISTA kernel body.
 
     FISTA is row-parallel over the batch: z_next for a tile depends only on
@@ -307,23 +340,18 @@ def _make_multistep_kernel(steps, split_float, restart=False,
     plain FISTA's momentum overshoots and oscillates near the optimum.
     """
     def kernel(scal_ref, x_ref, z_ref, zp_ref, *refs):
-        if restart:
-            if split_float:
-                (w_hi_ref, w_lo_ref, t_in_ref, z_out_ref, zp_out_ref,
-                 t_out_ref, delta_ref) = refs
-                w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
-            else:
-                (w_ref, t_in_ref, z_out_ref, zp_out_ref, t_out_ref,
-                 delta_ref) = refs
-                w = w_ref[:]
-            t = t_in_ref[:]                                # [bn, 1]
+        # operand order: w refs, [thresh row], [t_in]; then outputs
+        refs = list(refs)
+        if split_float:
+            w_hi, w_lo = refs.pop(0)[:], refs.pop(0)[:]
         else:
-            if split_float:
-                w_hi_ref, w_lo_ref, z_out_ref, zp_out_ref, delta_ref = refs
-                w_hi, w_lo = w_hi_ref[:], w_lo_ref[:]
-            else:
-                w_ref, z_out_ref, zp_out_ref, delta_ref = refs
-                w = w_ref[:]
+            w = refs.pop(0)[:]
+        trow = refs.pop(0)[:] if has_row else None  # [1, K], already * lr
+        if restart:
+            t = refs.pop(0)[:]                          # [bn, 1]
+            z_out_ref, zp_out_ref, t_out_ref, delta_ref = refs
+        else:
+            z_out_ref, zp_out_ref, delta_ref = refs
         z = z_ref[:]
         zp = zp_ref[:]
         x = x_ref[:]
@@ -355,7 +383,10 @@ def _make_multistep_kernel(steps, split_float, restart=False,
                 resid = _dot_nt(y.astype(w.dtype), w) - x
                 grad = _dot_nn(resid.astype(w.dtype), w)
             prox = soft_threshold_nonneg if nonneg else soft_threshold
-            z_new = prox(y - scal_ref[s, 0] * grad, scal_ref[s, 1])
+            # scal[s, 3] = 1/(1 + l2*lr): elastic-net prox contraction
+            z_new = prox(y - scal_ref[s, 0] * grad,
+                         trow if has_row else scal_ref[s, 1]) \
+                * scal_ref[s, 3]
             if restart:
                 rdot = jnp.sum((y - z_new) * (z_new - z), axis=1,
                                keepdims=True)
@@ -383,7 +414,8 @@ def _make_multistep_kernel(steps, split_float, restart=False,
                                     "kernel_precision", "nonneg"))
 def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
                           block_n=512, interpret=False,
-                          kernel_precision="f32", t_vec=None, nonneg=False):
+                          kernel_precision="f32", t_vec=None, nonneg=False,
+                          l2=0.0):
     """``steps`` fused FISTA iterations in ONE kernel invocation.
 
     ``lrs``/``threshs``/``moms`` are length-``steps`` vectors giving the
@@ -402,6 +434,10 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
     ignored, the t-sequence is advanced in-kernel per row, and rows whose
     gradient-mapping restart test fires reset their momentum. The return
     becomes ``(z_final, z_penultimate, t_out, delta)``.
+
+    ``threshs`` may instead be a [1, K] per-feature threshold row
+    (weighted lasso, already multiplied by the constant lr): it rides in
+    VMEM and is shared by every sub-step.
     """
     N, D = x.shape
     K = weight.shape[1]
@@ -410,13 +446,18 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
     block_n = _pick_block_n(N, D, K, w_bytes, block_n)
     grid = (N // block_n,)
 
+    th_arr = jnp.asarray(threshs, jnp.float32)
+    has_row = th_arr.ndim == 2
+    lrs_f = jnp.broadcast_to(jnp.asarray(lrs, jnp.float32), (steps,))
     scal = jnp.stack([
-        jnp.broadcast_to(jnp.asarray(lrs, jnp.float32), (steps,)),
-        jnp.broadcast_to(jnp.asarray(threshs, jnp.float32), (steps,)),
+        lrs_f,
+        (jnp.zeros((steps,), jnp.float32) if has_row
+         else jnp.broadcast_to(th_arr, (steps,))),
         jnp.broadcast_to(jnp.asarray(moms, jnp.float32), (steps,)),
-    ], axis=1)  # [S, 3]
+        1.0 / (1.0 + jnp.asarray(l2, jnp.float32) * lrs_f),
+    ], axis=1)  # [S, 4]
 
-    smem_in = pl.BlockSpec((steps, 3), lambda i: (0, 0),
+    smem_in = pl.BlockSpec((steps, 4), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     tile_d = pl.BlockSpec((block_n, D), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -443,10 +484,14 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
 
     kernel = _make_multistep_kernel(steps, kernel_precision == "f32",
                                     restart=restart, emulate=interpret,
-                                    nonneg=nonneg)
+                                    nonneg=nonneg, has_row=has_row)
 
     in_specs = [smem_in, tile_d, tile_k(), tile_k()] + w_specs
     in_args = [scal, x, z, z_prev, *w_args]
+    if has_row:
+        in_specs.append(pl.BlockSpec((1, K), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_args.append(th_arr)
     out_specs = [tile_k(), tile_k()]
     out_shape = [jax.ShapeDtypeStruct((N, K), jnp.float32),
                  jax.ShapeDtypeStruct((N, K), jnp.float32)]
@@ -483,12 +528,12 @@ def fused_fista_multistep(x, z, z_prev, weight, lrs, threshs, moms, steps,
 
 
 def fista_step_reference(x, z, z_prev, weight, lr, alpha, mom,
-                         precision=None):
+                         precision=None, l2=0.0):
     """jnp twin of the fused kernel (used as fallback and in tests)."""
     from lasso_tpu.config import get_precision
     prec = get_precision(precision)
     y = z + mom * (z - z_prev)
     resid = jnp.matmul(y, weight.T, precision=prec) - x
     grad = jnp.matmul(resid, weight, precision=prec)
-    z_next = soft_threshold(y - lr * grad, alpha * lr)
+    z_next = soft_threshold(y - lr * grad, alpha * lr) / (1.0 + l2 * lr)
     return z_next, jnp.sum(jnp.abs(z_next - z))

@@ -73,7 +73,11 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
         # closed-over globals — the local body sees per-device shapes
         z0 = kwargs.pop("z0", None)
         a_arr = jnp.asarray(alpha)
-        vec_alpha = a_arr.ndim >= 1
+        # only PER-SAMPLE alpha forms ((N,) / (N,1)) shard over 'data';
+        # a per-feature [1, K] row is batch-invariant and closes over
+        # the local body like the scalar form
+        vec_alpha = (a_arr.ndim >= 1 and a_arr.shape[0] == x.shape[0]
+                     and (a_arr.ndim == 1 or a_arr.shape[1:] == (1,)))
         extra = ({"axis_name": "data"}
                  if algorithm in _AXIS_NAME_ALGOS else {})
         # with return_iters, sparse_encode returns (z, n_iter): the count

@@ -106,15 +106,22 @@ def chunked_encode(x, weight, alpha=1.0, chunk_size=65536, algorithm="ista",
     chunk_size = min(chunk_size, N)
 
     a_arr = np.asarray(alpha)
-    vec_alpha = a_arr.ndim >= 1
-    if vec_alpha:
+    # a per-feature [1, K] alpha row is batch-invariant: it passes
+    # through to every chunk unchanged like a scalar. Only per-sample
+    # forms ((N,) / (N,1)) are sliced per chunk.
+    per_feature = (a_arr.ndim == 2 and a_arr.shape[0] == 1
+                   and a_arr.shape[1] != 1)
+    vec_alpha = a_arr.ndim >= 1 and not per_feature
+    if a_arr.ndim >= 1:
         if screen:
             raise ValueError("screen=True requires a scalar alpha (the "
                              "gap-safe certificate is a scalar-penalty "
                              "construction)")
-        if a_arr.shape[0] != N:
+        if vec_alpha and a_arr.shape[0] != N:
             raise ValueError(f"per-sample alpha must have shape ({N},), "
                              f"got {a_arr.shape}")
+        if vec_alpha and a_arr.ndim == 2:
+            a_arr = a_arr[:, 0]
 
     if screen:
         run = partial(screened_encode, alpha=alpha, algorithm=algorithm,
