@@ -5,6 +5,7 @@ from lasso_tpu.linear.solvers.gpsr import gpsr_basic
 from lasso_tpu.linear.solvers.interior_point import interior_point
 from lasso_tpu.linear.solvers.ista import ista
 from lasso_tpu.linear.solvers.iterative_ridge import iterative_ridge
+from lasso_tpu.linear.solvers.omp import orthogonal_matching_pursuit
 from lasso_tpu.linear.solvers.orthant_wise_newton import orthant_wise_newton
 from lasso_tpu.linear.solvers.split_bregman import split_bregman
 
@@ -17,5 +18,6 @@ __all__ = [
     "ista",
     "iterative_ridge",
     "orthant_wise_newton",
+    "orthogonal_matching_pursuit",
     "split_bregman",
 ]

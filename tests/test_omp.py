@@ -1,0 +1,125 @@
+"""Batched Orthogonal Matching Pursuit (TPU extension; no reference
+counterpart — certified against a plain numpy OMP oracle and by the
+greedy/LS invariants)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.linear import sparse_encode
+from lasso_tpu.linear.solvers import orthogonal_matching_pursuit as omp
+
+
+def numpy_omp(x, W, T):
+    """Straightforward per-sample OMP oracle (float64)."""
+    W = np.asarray(W, np.float64)
+    norms = np.linalg.norm(W, axis=0)
+    Z = np.zeros((x.shape[0], W.shape[1]))
+    for i, xi in enumerate(np.asarray(x, np.float64)):
+        support = []
+        for _ in range(T):
+            r = xi - W @ Z[i]
+            c = np.abs(W.T @ r) / norms
+            c[support] = -1
+            support.append(int(np.argmax(c)))
+            Ws = W[:, support]
+            zs, *_ = np.linalg.lstsq(Ws, xi, rcond=None)
+            Z[i, :] = 0
+            Z[i, support] = zs
+    return Z
+
+
+@pytest.fixture
+def problem(rng):
+    n, d, k = 10, 32, 64
+    W = rng.standard_normal((d, k))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((n, d))
+    return (jnp.asarray(x, jnp.float32), jnp.asarray(W, jnp.float32))
+
+
+def test_matches_numpy_oracle(problem):
+    x, W = problem
+    T = 6
+    z = np.asarray(omp(x, W, n_nonzero_coefs=T))
+    z_ref = numpy_omp(x, W, T)
+    np.testing.assert_allclose(z, z_ref, atol=1e-4)
+
+
+def test_exact_recovery(rng):
+    """OMP recovers a T-sparse code exactly from noiseless data."""
+    n, d, k, T = 8, 64, 128, 5
+    W = rng.standard_normal((d, k))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    z_true = np.zeros((n, k))
+    for i in range(n):
+        s = rng.choice(k, T, replace=False)
+        z_true[i, s] = rng.standard_normal(T) + np.sign(
+            rng.standard_normal(T)) * 0.5
+    x = z_true @ W.T
+    z = np.asarray(omp(jnp.asarray(x, jnp.float32),
+                       jnp.asarray(W, jnp.float32), n_nonzero_coefs=T))
+    np.testing.assert_allclose(z, z_true, atol=1e-3)
+
+
+def test_support_size_and_ls_orthogonality(problem):
+    """|support| <= T, and the residual is orthogonal to every selected
+    atom (the defining property of the exact LS refit)."""
+    x, W = problem
+    T = 7
+    z = np.asarray(omp(x, W, n_nonzero_coefs=T))
+    nnz = (np.abs(z) > 1e-7).sum(axis=1)
+    assert (nnz <= T).all()
+    r = np.asarray(x) - z @ np.asarray(W).T
+    corr = r @ np.asarray(W)
+    on = np.abs(z) > 1e-7
+    assert np.abs(corr[on]).max() < 1e-4
+
+
+def test_tol_stopping_per_sample(rng):
+    """tol freezes samples individually: an exactly-representable sample
+    stops early with a tiny support while a noisy one keeps growing."""
+    d, k = 32, 64
+    W = rng.standard_normal((d, k))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    z_true = np.zeros((2, k))
+    z_true[0, [3, 17]] = [1.0, -2.0]          # 2-sparse, exact
+    x = z_true @ W.T
+    x[1] = rng.standard_normal(d)             # dense noise sample
+    z, k_it = omp(jnp.asarray(x, jnp.float32), jnp.asarray(W, jnp.float32),
+                  n_nonzero_coefs=10, tol=1e-8, return_iters=True)
+    z = np.asarray(z)
+    assert (np.abs(z[0]) > 1e-6).sum() <= 3
+    assert (np.abs(z[1]) > 1e-6).sum() > 5
+    r0 = x[0] - z[0] @ np.asarray(W, np.float64).T
+    assert np.sum(r0 ** 2) < 1e-6
+
+
+def test_all_samples_converged_stops_loop(rng):
+    d, k = 16, 32
+    W = rng.standard_normal((d, k))
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    z_true = np.zeros((4, k))
+    z_true[:, 5] = 1.0
+    x = z_true @ W.T
+    z, it = omp(jnp.asarray(x, jnp.float32), jnp.asarray(W, jnp.float32),
+                n_nonzero_coefs=8, tol=1e-9, return_iters=True)
+    assert int(it) <= 3
+
+
+def test_sparse_encode_dispatch(problem):
+    x, W = problem
+    z = sparse_encode(x, W, algorithm="omp", n_nonzero_coefs=4)
+    assert (np.abs(np.asarray(z)) > 1e-7).sum(axis=1).max() <= 4
+    z2, n_it = sparse_encode(x, W, algorithm="omp", n_nonzero_coefs=4,
+                             return_iters=True)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    assert int(n_it) == 4
+
+
+def test_validation(problem):
+    x, W = problem
+    with pytest.raises(ValueError):
+        omp(x, W, n_nonzero_coefs=0)
+    with pytest.raises(ValueError):
+        omp(x, W, n_nonzero_coefs=33)   # > D
