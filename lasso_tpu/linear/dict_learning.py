@@ -222,3 +222,110 @@ def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
 
     (weight, _), losses = lax.scan(em_step, (weight, Z0_init), step_keys)
     return weight, losses
+
+
+def update_dict_online(dictionary, A, B, sweeps=1, positive=False,
+                       eps=1e-10, axis_name=None):
+    """Online dictionary update from sufficient statistics (Mairal,
+    Bach, Ponce & Sapiro 2009, Algorithm 2 — TPU extension; no
+    reference counterpart).
+
+    Given the accumulated statistics ``A = sum z z^T`` ([K, K]) and
+    ``B = sum x^T z`` ([D, K]), performs ``sweeps`` passes of block
+    coordinate descent over atoms:
+
+        u_k = w_k + (B[:, k] - W A[:, k]) / A[k, k]
+        w_k = u_k / max(||u_k||_2, 1)        (unit-ball projection)
+
+    Atoms with ``A[k, k] < eps`` (never activated) are left unchanged.
+    The statistics are already globally reduced by the caller under a
+    mesh (``axis_name`` is accepted for signature symmetry but unused —
+    A and B are replicated once accumulated).
+    """
+    del axis_name
+    n_components = dictionary.shape[1]
+
+    def atom(k, W):
+        a_kk = A[k, k]
+        u = W[:, k] + (B[:, k] - jnp.matmul(W, A[:, k])) \
+            / jnp.maximum(a_kk, eps)
+        if positive:
+            u = jnp.maximum(u, 0.0)
+        w_new = u / jnp.maximum(jnp.linalg.norm(u), 1.0)
+        w_new = jnp.where(a_kk < eps, W[:, k], w_new)
+        return W.at[:, k].set(w_new)
+
+    def sweep(_, W):
+        return lax.fori_loop(0, n_components, atom, W)
+
+    return lax.fori_loop(0, sweeps, sweep, dictionary)
+
+
+def dict_learning_online(X, n_components, alpha=1.0, batch_size=256,
+                         steps=500, key=None, algorithm="ista",
+                         forget=None, positive=False, eps=1e-10,
+                         dict_sweeps=1, stats_jitter=1e-6, progbar=False,
+                         **solver_kwargs):
+    """Online (minibatch) dictionary learning — Mairal et al. 2009
+    (TPU extension; the reference only ships full-batch EM).
+
+    Each step draws a ``batch_size`` minibatch (uniformly with
+    replacement, pre-drawn keys), sparse-codes it under the current
+    dictionary, folds it into the sufficient statistics
+
+        A <- gamma A + Z^T Z / batch_size
+        B <- gamma B + X^T Z / batch_size
+
+    (``gamma = forget`` in (0, 1] for exponential forgetting on
+    non-stationary streams; ``None`` = 1, the paper's plain
+    accumulation), then runs ``dict_sweeps`` block-coordinate atom
+    sweeps (:func:`update_dict_online`). Memory is O(K^2 + DK + B*D)
+    regardless of len(X) — the large-N training path: the full-batch
+    EM's per-step cost is one encode of ALL N samples, while T online
+    steps touch T*batch_size rows total.
+
+    The whole run is one jitted ``lax.scan``; returns
+    ``(weight, losses)`` with ``losses[t]`` the minibatch lasso loss at
+    step t (a noisy but unbiased progress signal; evaluate on held-out
+    data with :func:`dict_evaluate` for a clean number).
+
+    ``stats_jitter`` seeds ``A`` with a small multiple of the identity
+    so the first atom updates are well-conditioned (the paper's ``t0``
+    warm-up plays the same role).
+    """
+    n_samples, n_features = X.shape
+    if not 0 < batch_size:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    batch_size = min(batch_size, n_samples)
+    if forget is not None and not 0.0 < forget <= 1.0:
+        raise ValueError(f"forget must be in (0, 1], got {forget}")
+    gamma = 1.0 if forget is None else float(forget)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, init_key, idx_key = jax.random.split(key, 3)
+
+    weight = jax.nn.initializers.orthogonal()(
+        init_key, (n_features, n_components), dtype=X.dtype)
+    weight = weight / (jnp.linalg.norm(weight, axis=0, keepdims=True)
+                       + 1e-30)
+
+    idx = jax.random.randint(idx_key, (steps, batch_size), 0, n_samples)
+    A0 = stats_jitter * jnp.eye(n_components, dtype=X.dtype)
+    B0 = stats_jitter * weight
+
+    def step(carry, idx_t):
+        W, A, B = carry
+        x_t = X[idx_t]                                     # [B, D]
+        Z = sparse_encode(x_t, W, alpha, algorithm=algorithm,
+                          **solver_kwargs)
+        loss = lasso_loss(x_t, Z, W, alpha)
+        if progbar:
+            jax.debug.print("dict_learning_online loss: {l}", l=loss)
+        A = gamma * A + jnp.matmul(Z.T, Z) / batch_size
+        B = gamma * B + jnp.matmul(x_t.T, Z) / batch_size
+        W = update_dict_online(W, A, B, sweeps=dict_sweeps,
+                               positive=positive, eps=eps)
+        return (W, A, B), loss
+
+    (weight, _, _), losses = lax.scan(step, (weight, A0, B0), idx)
+    return weight, losses

@@ -25,6 +25,7 @@ from jax.sharding import PartitionSpec as P
 
 from lasso_tpu.linear.dict_learning import (lasso_loss, update_dict,
                                             update_dict_block,
+                                            update_dict_online,
                                             update_dict_ridge)
 from lasso_tpu.linear.sparse_encode import sparse_encode
 from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
@@ -35,12 +36,12 @@ from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
 # 'interior-point' have batch-GLOBAL stopping statistics in the reference
 # and take an axis_name to psum them; cd / cd-mod stop per sample, so
 # shards legitimately exit their loops independently with no collective.
-_SHARD_MAP_ALGOS = ("ista", "cd", "cd-mod", "interior-point")
+_SHARD_MAP_ALGOS = ("ista", "cd", "cd-mod", "interior-point", "omp")
 _AXIS_NAME_ALGOS = ("ista", "interior-point")
 # Solvers with a use_pallas switch: under the GSPMD route they must run
 # the plain XLA path — a pallas_call is a custom call GSPMD cannot
 # partition, and on TPU 'auto' would otherwise engage it on global shapes.
-_PALLAS_ALGOS = ("ista", "cd", "cd-mod")
+_PALLAS_ALGOS = ("ista", "cd", "cd-mod", "omp")
 
 
 def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
@@ -52,7 +53,7 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     that have one).
     """
     return_iters = bool(kwargs.get("return_iters"))
-    if return_iters and (algorithm in ("cd", "cd-mod")
+    if return_iters and (algorithm in ("cd", "cd-mod", "omp")
                          or kwargs.get("per_sample_tol")
                          or kwargs.get("per_sample")):
         raise ValueError(
@@ -260,3 +261,48 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     # the ridge M-step)
     _dummy_key = jax.random.PRNGKey(0)
     return (lambda x, weight: jit_step(x, weight, _dummy_key)), (x_sh, w_sh)
+
+
+def make_online_train_step(mesh, alpha=1.0, algorithm="ista", forget=None,
+                           positive=False, eps=1e-10, dict_sweeps=1,
+                           **solver_kwargs):
+    """One jitted ONLINE dictionary-learning step over the mesh
+    (minibatch Mairal update; see
+    :func:`lasso_tpu.linear.dict_learning_online`).
+
+    ``step(x_t, W, A, B) -> (W_new, A_new, B_new, loss)``: the minibatch
+    ``x_t`` is sharded over 'data'; the dictionary and the sufficient
+    statistics A [K, K] / B [D, K] are replicated. The per-shard
+    statistic partials ``Z^T Z`` / ``x^T Z`` psum over 'data' (the only
+    collectives — the atom sweep then runs on replicated data), so the
+    communication volume per step is O(K^2 + DK), independent of the
+    minibatch size. Returns the step plus ``(x_sharding, replicated)``.
+    """
+    gamma = 1.0 if forget is None else float(forget)
+    x_sh = data_sharding(mesh)
+    extra = ({"axis_name": "data"}
+             if algorithm in _AXIS_NAME_ALGOS else {})
+    if algorithm not in _SHARD_MAP_ALGOS:
+        raise ValueError(
+            f"make_online_train_step supports the shard_map solver "
+            f"routes {_SHARD_MAP_ALGOS}, got {algorithm!r}")
+
+    def local_step(x, weight, A, B):
+        Z = sparse_encode(x, weight, alpha, algorithm=algorithm,
+                          **extra, **solver_kwargs)
+        n_g = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype), "data")
+        loss = jax.lax.psum(
+            lasso_loss(x, Z, weight, alpha) * x.shape[0], "data") / n_g
+        A_new = gamma * A + jax.lax.psum(jnp.matmul(Z.T, Z), "data") / n_g
+        B_new = gamma * B + jax.lax.psum(jnp.matmul(x.T, Z), "data") / n_g
+        W_new = update_dict_online(weight, A_new, B_new,
+                                   sweeps=dict_sweeps, positive=positive,
+                                   eps=eps)
+        return W_new, A_new, B_new, loss
+
+    jit_step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False))
+    return jit_step, (x_sh, replicated(mesh))
