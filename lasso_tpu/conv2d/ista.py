@@ -53,13 +53,22 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
 
     ``alpha`` may also be an [N]-vector of per-sample penalties (exact
     via lasso homogeneity — see the linear solver's docstring and
-    ops.common.per_sample_alpha_column).
+    ops.common.per_sample_alpha_column), or a per-CHANNEL vector over
+    the ``C_z`` code channels (shape ``(1, C_z)`` always, or bare
+    ``(C_z,)`` when unambiguous): the prox threshold is elementwise, so
+    the channel weights broadcast as ``[1, C_z, 1, 1]`` through every
+    precision/restart path natively (weighted conv lasso).
 
     ``verbose`` prints the lasso loss per iteration (reference
     conv2d/ista.py:36-37).
     """
-    from lasso_tpu.ops.common import per_sample_alpha_column
-    a_col = per_sample_alpha_column(alpha, x.shape[0], ndim=x.ndim)
+    from lasso_tpu.ops.common import (per_feature_alpha_row,
+                                      per_sample_alpha_column)
+    a_ch = per_feature_alpha_row(alpha, z0.shape[1], x.shape[0])
+    if a_ch is not None:
+        alpha = a_ch.astype(x.dtype).reshape(1, z0.shape[1], 1, 1)
+    a_col = (None if a_ch is not None else
+             per_sample_alpha_column(alpha, x.shape[0], ndim=x.ndim))
     if a_col is not None:
         a_col = a_col.astype(x.dtype)
         out = ista_conv2d(
@@ -138,7 +147,7 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
         import jax
         x_hat = conv_transpose2d(zk, weight, stride=stride, padding=padding)
         loss = (0.5 * jnp.sum(jnp.square(x_hat - x))
-                + alpha * jnp.sum(jnp.abs(zk)))
+                + jnp.sum(alpha * jnp.abs(zk)))
         jax.debug.print("loss: {l:.4f}", l=loss)
 
     def make_cond(limit):

@@ -167,8 +167,8 @@ def update_dict_ridge(x, z, lambd=1e-4, axis_name=None, precision=None):
 
 def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
                   lambd=1e-2, steps=60, key=None, algorithm="ista",
-                  dict_update="sequential", block_lambd=1e-6, progbar=False,
-                  **solver_kwargs):
+                  dict_update="sequential", block_lambd=1e-6, positive=False,
+                  progbar=False, **solver_kwargs):
     """Alternating sparse-coding / dictionary-update EM loop
     (reference dl.py:23-53).
 
@@ -186,10 +186,18 @@ def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
     ``block_lambd`` is the block M-step's small stabilizing ridge — kept
     separate because the block fit is renormalized to unit columns, so
     it wants a much weaker ridge than the unconstrained Newton step.
+
+    ``positive=True`` (constrained only) projects atoms onto the
+    nonnegative orthant in the M-step; combine with the solvers'
+    ``nonneg=True`` (via ``solver_kwargs``) for fully nonnegative
+    sparse NMF-style factorizations.
     """
     if dict_update not in ("sequential", "block"):
         raise ValueError(f"dict_update must be 'sequential' or 'block', "
                          f"got {dict_update!r}")
+    if positive and not constrained:
+        raise ValueError("positive=True requires constrained=True (the "
+                         "ridge M-step has no nonnegativity projection)")
     n_samples, n_features = X.shape
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -212,10 +220,12 @@ def dict_learning(X, n_components, alpha=1.0, constrained=True, persist=False,
         if progbar:
             jax.debug.print("dict_learning loss: {l}", l=loss)
         if constrained and dict_update == "sequential":
-            weight_new, Z = update_dict(weight, X, Z, key=step_key)
+            weight_new, Z = update_dict(weight, X, Z, key=step_key,
+                                        positive=positive)
         elif constrained:
             weight_new, Z = update_dict_block(weight, X, Z, key=step_key,
-                                              lambd=block_lambd)
+                                              lambd=block_lambd,
+                                              positive=positive)
         else:
             weight_new = update_dict_ridge(X, Z, lambd=lambd)
         return (weight_new, Z), loss

@@ -152,6 +152,51 @@ def test_sparse_encode_per_feature_all_algorithms(rng, algorithm, rel):
     assert f <= f_ref + rel * abs(f_ref) + 1e-9, (f, f_ref)
 
 
+def test_conv_per_channel_alpha(rng):
+    """Per-channel alpha for conv FISTA: KKT of the weighted conv lasso
+    (channel k's subgradient bound is a_k), plus constant-row == scalar."""
+    from lasso_tpu.conv2d import ista_conv2d
+    from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
+    import jax.numpy as jnp
+    N, Cz, Cx, H = 3, 6, 2, 8
+    k = jnp.asarray((rng.standard_normal((Cz, Cx, 3, 3)) * 0.2)
+                    .astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((N, Cx, H, H)).astype(np.float32))
+    z0 = jnp.zeros((N, Cz, H, H), jnp.float32)
+    a_ch = jnp.asarray(rng.uniform(0.02, 0.2, size=(1, Cz))
+                       .astype(np.float32))
+    kw = dict(padding=1, maxiter=3000, tol=0.0)
+    z = ista_conv2d(x, z0, k, a_ch, **kw)
+    g = np.asarray(conv2d(
+        conv_transpose2d(z, k, padding=1) - x, k, padding=1))
+    a4 = np.asarray(a_ch).reshape(1, Cz, 1, 1)
+    zn = np.asarray(z)
+    on = np.abs(zn) > 1e-5
+    assert (np.abs(g + a4 * np.sign(zn)) * on).max() < 2e-4
+    assert (np.maximum(np.abs(g) - a4, 0.0) * (~on)).max() < 2e-4
+    # constant channel row == scalar
+    z_c = ista_conv2d(x, z0, k, jnp.full((1, Cz), 0.1), padding=1,
+                      maxiter=150, tol=0.0)
+    z_s = ista_conv2d(x, z0, k, 0.1, padding=1, maxiter=150, tol=0.0)
+    np.testing.assert_allclose(np.asarray(z_c), np.asarray(z_s),
+                               atol=1e-6)
+
+
+def test_dict_learning_positive(rng):
+    """positive=True + solver nonneg=True gives a fully nonnegative
+    factorization (sparse NMF-style)."""
+    from lasso_tpu.linear import dict_learning
+    X = jnp.asarray(np.abs(rng.standard_normal((80, 16))), jnp.float32)
+    for du in ("sequential", "block"):
+        W, losses = dict_learning(X, 12, alpha=0.05, constrained=True,
+                                  positive=True, dict_update=du, steps=5,
+                                  maxiter=60, tol=0.0, nonneg=True)
+        assert float(jnp.min(W)) >= 0.0, du
+        assert np.isfinite(np.asarray(losses)).all()
+    with pytest.raises(ValueError):
+        dict_learning(X, 12, alpha=0.05, constrained=False, positive=True)
+
+
 def test_data_parallel_encode_per_feature(rng):
     """A per-feature row is batch-invariant: it closes over the
     shard_map body like a scalar and the sharded result matches the
