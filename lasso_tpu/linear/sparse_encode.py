@@ -27,6 +27,7 @@ _init_defaults = {
     "split-bregman": "zero",
     "own": "zero",
     "omp": "zero",   # unused: OMP takes no z0 (support built greedily)
+    "group-ista": "zero",
 }
 
 
@@ -99,6 +100,12 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
         return out
 
     a_row = per_feature_alpha_row(alpha, n_components, n_samples)
+    if a_row is not None and algorithm == "group-ista":
+        # a per-coordinate rescale changes the group norms non-uniformly;
+        # the weighted-group analogue is group_weights, not alpha
+        raise ValueError("per-feature [1, K] alpha is not supported for "
+                         "group-ista; pass group_weights for per-group "
+                         "penalties")
     if a_row is not None and algorithm not in ("ista", "cd"):
         # generic column-rescaling wrapper for solvers without native
         # per-feature-alpha support (ista/cd rescale internally)
@@ -116,7 +123,7 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
     # per-sample resolver reject its [1, K] shape
     a_col = (None if a_row is not None
              else per_sample_alpha_column(alpha, n_samples))
-    if a_col is not None and algorithm not in ("ista", "cd"):
+    if a_col is not None and algorithm not in ("ista", "cd", "group-ista"):
         # generic homogeneity wrapper for solvers without native
         # vector-alpha support (ista/cd rescale internally)
         a_col = a_col.astype(x.dtype)
@@ -164,6 +171,11 @@ def sparse_encode(x, weight, alpha=1.0, z0=None, algorithm="ista", init=None,
         z, n_iter = out if return_iters else (out, None)
     elif algorithm == "ista":
         out = solvers.ista(x, z0, weight, alpha, **ri, **kwargs)
+        z, n_iter = out if return_iters else (out, None)
+    elif algorithm == "group-ista":
+        # group lasso / sparse-group lasso (TPU extension): requires a
+        # ``groups`` kwarg (int block size or [K] id array)
+        out = solvers.group_ista(x, z0, weight, alpha, **ri, **kwargs)
         z, n_iter = out if return_iters else (out, None)
     elif algorithm == "interior-point":
         out = solvers.interior_point(x, weight, z0, alpha, **ri, **kwargs)

@@ -36,8 +36,9 @@ from lasso_tpu.parallel.mesh import (code_sharding, data_sharding,
 # 'interior-point' have batch-GLOBAL stopping statistics in the reference
 # and take an axis_name to psum them; cd / cd-mod stop per sample, so
 # shards legitimately exit their loops independently with no collective.
-_SHARD_MAP_ALGOS = ("ista", "cd", "cd-mod", "interior-point", "omp")
-_AXIS_NAME_ALGOS = ("ista", "interior-point")
+_SHARD_MAP_ALGOS = ("ista", "cd", "cd-mod", "interior-point", "omp",
+                    "group-ista")
+_AXIS_NAME_ALGOS = ("ista", "interior-point", "group-ista")
 # Solvers with a use_pallas switch: under the GSPMD route they must run
 # the plain XLA path — a pallas_call is a custom call GSPMD cannot
 # partition, and on TPU 'auto' would otherwise engage it on global shapes.
