@@ -1,7 +1,13 @@
+from lasso_tpu.conv2d.dict_learning import (conv_dict_learning,
+                                            conv_lasso_loss,
+                                            update_kernel,
+                                            update_kernel_constrained)
 from lasso_tpu.conv2d.ista import ista_conv2d
 from lasso_tpu.conv2d.lip_const import (LipBoundConv2d, lip_bound_conv2d,
                                         lip_constant)
 from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
 
-__all__ = ["conv2d", "conv_transpose2d", "ista_conv2d", "lip_constant",
-           "lip_bound_conv2d", "LipBoundConv2d"]
+__all__ = ["conv2d", "conv_transpose2d", "conv_dict_learning",
+           "conv_lasso_loss", "ista_conv2d", "lip_constant",
+           "lip_bound_conv2d", "LipBoundConv2d", "update_kernel",
+           "update_kernel_constrained"]

@@ -264,6 +264,59 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     return (lambda x, weight: jit_step(x, weight, _dummy_key)), (x_sh, w_sh)
 
 
+def make_conv_train_step(mesh, alpha=1.0, kernel_size=7, stride=1,
+                         padding=0, constrained=True, lambd=None,
+                         cg_iters=30, eps=1e-10, **solver_kwargs):
+    """One jitted EM step of CONVOLUTIONAL dictionary learning over the
+    mesh (see :func:`lasso_tpu.conv2d.conv_dict_learning`).
+
+    ``step(x, weight, key) -> (weight_new, loss)``: the image batch x
+    [N, C, H, W] shards over 'data'; the filter stack replicates. The
+    encode's batch-global stopping sum psums over 'data'
+    (``ista_conv2d(axis_name=...)``) and the M-step's filter-space CG
+    psums only its adjoint reductions (``update_kernel(axis_name=...)``)
+    — CG state is replicated, so per-CG-iteration traffic is one
+    filter-tensor psum. The PRNG key seeds degenerate-filter
+    replacements and must be identical on every process.
+    """
+    from lasso_tpu.conv2d.dict_learning import (conv_lasso_loss,
+                                                update_kernel,
+                                                update_kernel_constrained)
+    from lasso_tpu.conv2d.ista import ista_conv2d
+    from lasso_tpu.conv2d.ops import conv2d
+
+    if lambd is None:
+        lambd = 1e-6 if constrained else 1e-4
+    x_sh = data_sharding(mesh)
+
+    def local_step(x, weight, key):
+        code = jax.eval_shape(
+            lambda xx: conv2d(xx, weight, stride=stride, padding=padding),
+            jax.ShapeDtypeStruct(x.shape, x.dtype))
+        z0 = jnp.zeros(code.shape, x.dtype)
+        Z = ista_conv2d(x, z0, weight, alpha, stride=stride,
+                        padding=padding, axis_name="data", **solver_kwargs)
+        n_global = jax.lax.psum(jnp.asarray(x.shape[0], x.dtype), "data")
+        loss = jax.lax.psum(
+            conv_lasso_loss(x, Z, weight, alpha, stride=stride,
+                            padding=padding) * x.shape[0], "data"
+        ) / n_global
+        if constrained:
+            W_new, _ = update_kernel_constrained(
+                x, Z, weight, key, stride=stride, padding=padding,
+                lambd=lambd, cg_iters=cg_iters, eps=eps, axis_name="data")
+        else:
+            W_new = update_kernel(x, Z, weight, stride=stride,
+                                  padding=padding, lambd=lambd,
+                                  cg_iters=cg_iters, axis_name="data")
+        return W_new, loss
+
+    jit_step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=(P("data"), P(), P()),
+        out_specs=(P(), P()), check_vma=False))
+    return jit_step, (x_sh, replicated(mesh))
+
+
 def make_online_train_step(mesh, alpha=1.0, algorithm="ista", forget=None,
                            positive=False, eps=1e-10, dict_sweeps=1,
                            **solver_kwargs):
