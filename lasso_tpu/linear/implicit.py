@@ -1,0 +1,139 @@
+"""Implicit differentiation through the lasso solution.
+
+TPU-native extension with no reference counterpart: the reference's
+solvers are terminal — codes come out, gradients do not go back in. In
+JAX the natural upgrade is to make ``sparse_encode`` a differentiable
+layer via the implicit function theorem (Bertrand et al. 2020; the
+task-driven dictionary learning gradients of Mairal, Bach & Ponce 2012),
+so sparse coding can sit inside any end-to-end ``jax.grad`` pipeline
+(supervised dictionary learning, bilevel hyperparameter optimization of
+``alpha``, unrolled-free LISTA-style training targets).
+
+Math. At an (a.e. unique-support) lasso solution the KKT system on the
+support S pins z_S as an implicit function of (x, W, alpha):
+
+    c(z_S; x, W, alpha) = W_S^T (W_S z_S - x) + alpha * sign(z_S) = 0
+
+so for a cotangent zbar the VJPs all flow through ONE linear solve with
+the restricted Gram H_SS = W_S^T W_S:
+
+    u_S       = H_SS^{-1} zbar_S                  (off-support u = 0)
+    x_bar     = u W^T                             ([N, D])
+    W_bar     = -(R^T u + W (u^T z))              ([D, K]; R = z W^T - x)
+    alpha_bar = -sum u * sign(z)                  (reduced to alpha's shape)
+
+The solve is matrix-free masked CG — ``A(u) = M * ((u*M) W^T W)`` with M
+the support mask — batched over samples with per-sample inner products
+(the same masked-CG machinery as GPSR's debias step), so nothing
+[B, K, K]-sized is ever built and the whole backward is two matmul
+passes per CG iteration on the MXU.
+
+Caveats (standard for lasso IFT): the map is differentiable wherever the
+support is locally constant (a.e. under continuous data); at support
+boundaries the returned gradient is the one-sided limit. For strongly
+overcomplete W with support size > D, H_SS is singular and the lasso
+solution (not its fitted values) is non-unique — CG then returns the
+minimal-residual u and the ``ridge`` knob adds Tikhonov stabilization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lasso_tpu.config import get_precision
+from lasso_tpu.linalg.conjgrad import conjgrad
+from lasso_tpu.linear.sparse_encode import sparse_encode
+
+
+def _support_linear_solve(weight, mask, b, ridge, cg_iters, cg_tol, prec):
+    """Solve H_SS u_S = b_S per sample, matrix-free masked CG.
+
+    mask: [N, K] 0/1 support indicator; b: [N, K] (already masked).
+    Returns u [N, K] with zeros off-support.
+    """
+    def Adot(u):
+        um = u * mask
+        Hu = jnp.matmul(jnp.matmul(um, weight.T, precision=prec), weight,
+                        precision=prec)
+        if ridge:
+            Hu = Hu + ridge * um
+        return mask * Hu
+
+    dot = lambda a, c: jnp.sum(a * c, axis=1, keepdims=True)
+    u = conjgrad(b, Adot, dot, maxiter=cg_iters, tol=cg_tol, rtol=0.0)
+    return u * mask
+
+
+def make_implicit_encoder(algorithm="ista", support_eps=1e-7, ridge=0.0,
+                          cg_iters=200, cg_tol=1e-12, **solver_kwargs):
+    """Build ``encode(x, weight, alpha) -> z`` differentiable in all
+    three arguments via the implicit function theorem.
+
+    The forward pass is a plain :func:`sparse_encode` call (any
+    dispatched ``algorithm``; ``solver_kwargs`` thread through — run it
+    tight, e.g. ``maxiter=500, tol=1e-9``, since IFT gradients assume an
+    actual optimum). The backward pass never differentiates through the
+    solver loop: it solves the support-restricted normal equations with
+    masked matrix-free CG (``cg_iters``/``cg_tol``), so its cost is
+    independent of how many FISTA iterations the forward took.
+
+    ``support_eps``: |z| threshold defining the support mask (solver
+    output is exactly sparse thanks to the shrink, so the default is a
+    safety net against denormal dust). ``ridge``: optional Tikhonov term
+    for heavily overcomplete dictionaries where H_SS can be singular.
+
+    ``alpha`` may be a scalar, per-sample [N] / [N, 1], or per-feature
+    [1, K] array; ``alpha_bar`` comes back in the matching shape.
+    """
+    prec = get_precision(None)
+
+    @jax.custom_vjp
+    def encode(x, weight, alpha):
+        return sparse_encode(x, weight, alpha, algorithm=algorithm,
+                             **solver_kwargs)
+
+    def fwd(x, weight, alpha):
+        z = encode(x, weight, alpha)
+        return z, (x, weight, jnp.asarray(alpha), z)
+
+    def bwd(res, zbar):
+        x, weight, alpha, z = res
+        mask = (jnp.abs(z) > support_eps).astype(z.dtype)
+        u = _support_linear_solve(weight, mask, zbar * mask, ridge,
+                                  cg_iters, cg_tol, prec)
+
+        x_bar = jnp.matmul(u, weight.T, precision=prec)           # [N, D]
+        R = jnp.matmul(z, weight.T, precision=prec) - x           # [N, D]
+        W_bar = -(jnp.matmul(R.T, u, precision=prec)
+                  + jnp.matmul(weight, jnp.matmul(u.T, z, precision=prec),
+                               precision=prec))                   # [D, K]
+
+        ds = -u * jnp.sign(z)                                     # [N, K]
+        if alpha.ndim == 0:
+            a_bar = jnp.sum(ds)
+        elif alpha.ndim == 1:                                     # [N]
+            a_bar = jnp.sum(ds, axis=1)
+        elif alpha.shape[0] == 1:                                 # [1, K]
+            a_bar = jnp.sum(ds, axis=0, keepdims=True)
+        else:                                                     # [N, 1]
+            a_bar = jnp.sum(ds, axis=1, keepdims=True)
+        return x_bar, W_bar, a_bar.astype(alpha.dtype)
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
+def implicit_sparse_encode(x, weight, alpha, algorithm="ista",
+                           support_eps=1e-7, ridge=0.0, cg_iters=200,
+                           cg_tol=1e-12, **solver_kwargs):
+    """One-shot form of :func:`make_implicit_encoder` — a
+    ``sparse_encode`` call whose output carries implicit-function-theorem
+    gradients w.r.t. ``x``, ``weight``, and ``alpha``."""
+    enc = make_implicit_encoder(algorithm=algorithm,
+                                support_eps=support_eps, ridge=ridge,
+                                cg_iters=cg_iters, cg_tol=cg_tol,
+                                **solver_kwargs)
+    return enc(x, weight, jnp.asarray(alpha))
