@@ -134,6 +134,58 @@ def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
     return x
 
 
+def conjgrad_per_row(b, Adot, dot, maxiter, tol):
+    """Batched CG with per-ROW semantics (vs :func:`conjgrad`'s
+    batch-global stops) for PSD-per-sample operators.
+
+    ``dot(u, v)`` must return a per-sample keepdim inner product (e.g.
+    ``sum(u*v, axis=1, keepdims=True)``). Each row stops on its own
+    tolerance — absolute ``tol`` on the residual norm with an
+    eps-relative floor so f32 never chases an unreachable residual —
+    freezes on non-positive curvature (f32 rounding can push a
+    near-singular row's ``p^T A p`` below zero), and returns its
+    BEST-residual iterate, so one ill-conditioned sample can neither
+    NaN-poison the batch nor stop the other rows early. Built for the
+    implicit-function-theorem backward solves (linear + conv), where
+    support-restricted Hessians routinely hit singularity at maximal
+    support on overcomplete dictionaries.
+    """
+    rs0 = dot(b, b)
+    eps = jnp.finfo(b.dtype).eps
+    tol_row = jnp.maximum(jnp.asarray(tol, b.dtype) ** 2,
+                          (100 * eps) ** 2 * rs0)
+    # headroom for CG's non-monotone residual 2-norm; past this the row
+    # has truly diverged and is frozen at its best iterate
+    rs_blowup = 1e8 * jnp.maximum(rs0, jnp.asarray(1.0, b.dtype))
+
+    def cond_fn(state):
+        _, _, _, _, _, _, active, k = state
+        return jnp.logical_and(jnp.any(active), k < maxiter)
+
+    def body_fn(state):
+        u, r, p, rs, u_best, rs_best, active, k = state
+        Ap = Adot(p)
+        curv = dot(p, Ap)
+        step = jnp.logical_and(active, curv > 0)
+        alpha = jnp.where(step, rs / jnp.where(curv > 0, curv, 1.0), 0.0)
+        u = u + alpha * p
+        r = r + alpha * Ap
+        rs_new = jnp.where(step, dot(r, r), rs)
+        improved = rs_new < rs_best
+        u_best = jnp.where(improved, u, u_best)
+        rs_best = jnp.where(improved, rs_new, rs_best)
+        beta = jnp.where(step, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
+        p = jnp.where(step, -r + beta * p, p)
+        active = (step & (rs_new > tol_row) & jnp.isfinite(rs_new)
+                  & (rs_new <= rs_blowup))
+        return (u, r, p, rs_new, u_best, rs_best, active, k + 1)
+
+    u0 = jnp.zeros_like(b)
+    init = (u0, -b, b, rs0, u0, rs0, rs0 > tol_row, jnp.asarray(0))
+    *_, u_best, _, _, _ = lax.while_loop(cond_fn, body_fn, init)
+    return u_best
+
+
 def cg(A, b, maxiter=None, tol=1e-10, rtol=1.0, precision=None, **kwargs):
     """Single-vector CG: ``A`` dense [n, n], ``b`` [n] (conjgrad.py:60-69)."""
     assert A.ndim == 2 and b.ndim == 1

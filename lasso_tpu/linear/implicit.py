@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from lasso_tpu.config import get_precision
-from lasso_tpu.linalg.conjgrad import conjgrad
+from lasso_tpu.linalg.conjgrad import conjgrad_per_row
 from lasso_tpu.linear.sparse_encode import sparse_encode
 
 
@@ -52,7 +52,11 @@ def _support_linear_solve(weight, mask, b, ridge, cg_iters, cg_tol, prec):
     """Solve H_SS u_S = b_S per sample, matrix-free masked CG.
 
     mask: [N, K] 0/1 support indicator; b: [N, K] (already masked).
-    Returns u [N, K] with zeros off-support.
+    Returns u [N, K] with zeros off-support. Per-row stopping,
+    curvature freezing, and best-iterate return come from
+    :func:`~lasso_tpu.linalg.conjgrad.conjgrad_per_row` — in f32 a
+    near-singular row (support size = D on an overcomplete dictionary)
+    must freeze rather than NaN-poison the batch.
     """
     def Adot(u):
         um = u * mask
@@ -63,7 +67,7 @@ def _support_linear_solve(weight, mask, b, ridge, cg_iters, cg_tol, prec):
         return mask * Hu
 
     dot = lambda a, c: jnp.sum(a * c, axis=1, keepdims=True)
-    u = conjgrad(b, Adot, dot, maxiter=cg_iters, tol=cg_tol, rtol=0.0)
+    u = conjgrad_per_row(b, Adot, dot, maxiter=cg_iters, tol=cg_tol)
     return u * mask
 
 
@@ -87,8 +91,15 @@ def make_implicit_encoder(algorithm="ista", support_eps=1e-7, ridge=0.0,
 
     ``alpha`` may be a scalar, per-sample [N] / [N, 1], or per-feature
     [1, K] array; ``alpha_bar`` comes back in the matching shape.
+
+    Elastic net composes exactly: passing ``l2 > 0`` through
+    ``solver_kwargs`` adds the same quadratic to the KKT system, so the
+    backward solve uses ``H_SS + l2 I`` (folded into the CG ridge) and
+    every VJP formula is otherwise unchanged.
     """
     prec = get_precision(None)
+    # elastic-net quadratic enters the support Hessian exactly as a ridge
+    ridge = ridge + float(solver_kwargs.get("l2", 0.0))
 
     @jax.custom_vjp
     def encode(x, weight, alpha):

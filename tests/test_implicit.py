@@ -138,6 +138,47 @@ def test_implicit_matches_unrolled_autodiff():
                                        rtol=1e-6, atol=1e-8)
 
 
+def test_implicit_elastic_net_matches_unrolled_autodiff():
+    """l2 > 0 folds into the support Hessian as a ridge: the IFT
+    backward must still agree with reverse-mode through an explicit
+    elastic-net FISTA scan (prox contraction 1/(1+l2*lr)) for x, W,
+    and alpha simultaneously."""
+    x, W, c = _problem(seed=4)
+    l2 = 0.3
+    with jax.enable_x64():
+        xj, Wj, cj = map(jnp.asarray, (x, W, c))
+        a0 = jnp.asarray(0.2)
+
+        def unrolled(xx, ww, aa, iters=4000, lr=LR):
+            z0 = jnp.zeros((xx.shape[0], ww.shape[1]), xx.dtype)
+
+            def step(carry, _):
+                z, z_prev, t = carry
+                t_next = (1 + jnp.sqrt(1 + 4 * t * t)) / 2
+                y = z + ((t - 1) / t_next) * (z - z_prev)
+                g = jnp.matmul(jnp.matmul(y, ww.T) - xx, ww)
+                z_new = soft_threshold(y - lr * g, aa * lr) / (1 + l2 * lr)
+                return (z_new, z, t_next), None
+
+            (z, _, _), _ = lax.scan(
+                step, (z0, z0, jnp.asarray(1.0, xx.dtype)), None,
+                length=iters)
+            return z
+
+        enc = make_implicit_encoder(l2=l2, **SOLVE)
+        f_imp = lambda xx, ww, aa: jnp.sum(enc(xx, ww, aa) * cj)
+        f_unr = lambda xx, ww, aa: jnp.sum(unrolled(xx, ww, aa) * cj)
+
+        np.testing.assert_allclose(float(f_imp(xj, Wj, a0)),
+                                   float(f_unr(xj, Wj, a0)), rtol=1e-6)
+
+        gi = jax.grad(f_imp, argnums=(0, 1, 2))(xj, Wj, a0)
+        gu = jax.grad(f_unr, argnums=(0, 1, 2))(xj, Wj, a0)
+        for a, b in zip(gi, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+
+
 def test_task_driven_training_reduces_loss():
     """Gradient steps on W through the encoder must reduce a downstream
     objective (reconstruction through the sparse bottleneck)."""
@@ -162,6 +203,40 @@ def test_task_driven_training_reduces_loss():
             Wj = Wj / jnp.maximum(
                 jnp.linalg.norm(Wj, axis=0, keepdims=True), 1.0)
         assert losses[-1] < 0.9 * losses[0], losses
+
+
+def test_f32_overcomplete_grad_is_finite_and_close():
+    """f32 robustness: a strongly overcomplete dictionary (K = 5D) drives
+    support sizes up to D, making H_SS near-singular — f32-rounded
+    negative curvature in the backward CG must freeze the offending rows
+    (best-iterate return), not NaN-poison the batch. With an l2 ridge the
+    f32 gradient must also be *accurate* against x64 truth."""
+    rng = np.random.default_rng(42)
+    x_np = rng.standard_normal((100, 10))
+    W_np = rng.standard_normal((10, 50))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    x32 = jnp.asarray(x_np, jnp.float32)
+    W32 = jnp.asarray(W_np, jnp.float32)
+
+    for l2 in (0.0, 0.1):
+        enc = make_implicit_encoder(maxiter=1000, tol=0.0, lr="auto",
+                                    l2=l2, use_pallas=False)
+        g = jax.grad(lambda ww: jnp.sum(
+            jnp.square(enc(x32, ww, jnp.asarray(0.2)))))(W32)
+        assert bool(jnp.all(jnp.isfinite(g))), f"NaN grad at l2={l2}"
+        with jax.enable_x64():
+            x64, W64 = jnp.asarray(x_np), jnp.asarray(W_np)
+            enc64 = make_implicit_encoder(maxiter=4000, tol=0.0,
+                                          lr="auto", l2=l2,
+                                          use_pallas=False)
+            g64 = jax.grad(lambda ww: jnp.sum(
+                jnp.square(enc64(x64, ww, jnp.asarray(0.2)))))(W64)
+            rel = float(jnp.linalg.norm(jnp.asarray(np.asarray(g)) - g64)
+                        / jnp.linalg.norm(g64))
+        # l2=0 at support==D is genuinely near-singular: finiteness is
+        # the contract; the ridge case must be f32-accurate
+        bound = 2e-2 if l2 == 0.0 else 1e-4
+        assert rel < bound, (l2, rel)
 
 
 def test_support_mask_and_cg_guards():
