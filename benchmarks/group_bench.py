@@ -55,14 +55,28 @@ def main():
               f"({dt:.3f}s per solve)")
         return dt
 
-    timed("group-ista (block gs=%d)" % args.gs,
+    timed("group-ista XLA (block gs=%d)" % args.gs,
           jax.jit(lambda x: group_ista(x, z0, Wj, alpha=0.1, groups=args.gs,
-                                       maxiter=args.iters, tol=0.0, lr=lr)),
+                                       maxiter=args.iters, tol=0.0, lr=lr,
+                                       use_pallas=False)),
           xs)
     ids = np.repeat(np.arange(args.k // args.gs), args.gs)
-    timed("group-ista (id array, one-hot MXU)",
+    timed("group-ista XLA (id array)",
           jax.jit(lambda x: group_ista(x, z0, Wj, alpha=0.1, groups=ids,
-                                       maxiter=args.iters, tol=0.0, lr=lr)),
+                                       maxiter=args.iters, tol=0.0, lr=lr,
+                                       use_pallas=False)),
+          xs)
+    for kp in ("f32", "bf16", "mixed"):
+        timed(f"group-ista FUSED {kp}",
+              jax.jit(lambda x, kp=kp: group_ista(
+                  x, z0, Wj, alpha=0.1, groups=args.gs,
+                  maxiter=args.iters, tol=0.0, lr=lr,
+                  kernel_precision=kp)),
+              xs)
+    timed("group-ista FUSED f32 + restart",
+          jax.jit(lambda x: group_ista(x, z0, Wj, alpha=0.1, groups=args.gs,
+                                       maxiter=args.iters, tol=0.0, lr=lr,
+                                       restart=True)),
           xs)
     timed("ista XLA unfused (baseline)",
           jax.jit(lambda x: ista(x, z0, Wj, alpha=0.1, maxiter=args.iters,

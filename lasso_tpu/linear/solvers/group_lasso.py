@@ -169,7 +169,9 @@ def group_lasso_objective(x, weight, z, alpha, groups, weights=None,
 def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
                l1_alpha=0.0, fast=True, lr="auto", maxiter=100, tol=1e-5,
                power_iters=500, precision=None, axis_name=None,
-               restart=False, verbose=False, return_iters=False):
+               restart=False, use_pallas="auto", fuse_steps="auto",
+               kernel_precision="f32", mixed_tail="auto",
+               verbose=False, return_iters=False):
     """(F)ISTA for the batched group lasso / sparse-group lasso.
 
     Problem: ``min_z 0.5||z W^T - x||^2 + alpha sum_g w_g ||z_g||_2
@@ -194,6 +196,16 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
     the same per-sample factor). Per-feature [1, K] alphas are NOT
     accepted — per-coordinate weighting inside a group changes the prox;
     use ``group_weights`` for per-group penalties.
+
+    ``use_pallas='auto'``: on TPU backends with aligned shapes the
+    iteration runs as the S-step fused Pallas kernel of
+    :mod:`lasso_tpu.ops.fused_group` (group prox via one-hot MXU
+    matmuls, iterates resident in VMEM across ``fuse_steps``
+    sub-iterations — the same multi-step-fusion lever as plain
+    :func:`~lasso_tpu.linear.solvers.ista.ista`, with the identical
+    ``kernel_precision`` 'f32'/'bf16'/'mixed' continuation and
+    ``mixed_tail``). The kernel checks convergence at S-step block
+    boundaries, so it never stops before the unfused path would.
 
     Returns codes ``z`` [N, K]; with ``return_iters=True`` also the
     executed iteration count (device scalar).
@@ -221,7 +233,9 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
             group_weights=group_weights, l1_alpha=l1_scaled,
             fast=fast, lr=lr, maxiter=maxiter, tol=tol,
             power_iters=power_iters, precision=precision,
-            axis_name=axis_name, restart=restart, verbose=verbose,
+            axis_name=axis_name, restart=restart, use_pallas=use_pallas,
+            fuse_steps=fuse_steps, kernel_precision=kernel_precision,
+            mixed_tail=mixed_tail, verbose=verbose,
             return_iters=return_iters)
         if return_iters:
             z_u, k = out
@@ -252,6 +266,49 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
     tol_total = z0.size * tol
     if axis_name is not None:
         tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
+
+    # ---- fused-kernel routing (ops/fused_group) -------------------------
+    from lasso_tpu.linear.solvers.ista import _resolve_mixed_tail
+    from lasso_tpu.ops.common import resolve_pallas
+    from lasso_tpu.ops.fused_group import (build_membership,
+                                           fused_group_fista_multistep,
+                                           pad_group_count,
+                                           supports_fused_group_step)
+    if kernel_precision not in ("f32", "bf16", "mixed"):
+        raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
+                         f"'mixed', got {kernel_precision!r}")
+    # the kernel takes a scalar l1 threshold; the per-sample-alpha
+    # rescale turns l1_alpha into an [N, 1] column -> XLA fallback
+    fusable = (supports_fused_group_step(x, z0, weight, n_groups)
+               and l1_arr.ndim == 0)
+    fused, interpret = resolve_pallas(use_pallas, fusable)
+    if verbose:
+        S = 1   # per-iteration loss prints live in the XLA body
+    elif fuse_steps == "auto":
+        if fused:
+            S = next((s for s in range(min(32, maxiter), 0, -1)
+                      if maxiter % s == 0), 1)
+            if S < 8:
+                S = min(16, maxiter)
+        else:
+            S = 1
+    else:
+        S = max(1, int(fuse_steps)) if fused else 1
+    S = min(S, maxiter)
+
+    if fused and S > 1:
+        ids_full = (np.repeat(np.arange(n_groups, dtype=np.int32), data)
+                    if kind == "block" else data)
+        m_fwd, m_bwd = build_membership(ids_full, n_groups)
+        g_pad = pad_group_count(n_groups)
+        w_row = (jnp.ones((n_groups,), jnp.float32) if group_weights is None
+                 else jnp.asarray(group_weights, jnp.float32))
+        thg_row = jnp.zeros((1, g_pad), jnp.float32).at[0, :n_groups].set(
+            jnp.asarray(alpha, jnp.float32)
+            * jnp.asarray(lr, jnp.float32) * w_row)
+        l1_th = jnp.asarray(l1_alpha, jnp.float32) \
+            * jnp.asarray(lr, jnp.float32)
+    # ---------------------------------------------------------------------
 
     def rss_grad(z_k):
         resid = jnp.matmul(z_k, weight.T, precision=prec) - x
@@ -289,6 +346,41 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
 
         t0_vec = jnp.zeros((x.shape[0], 1), jnp.float32)
         state = (z0, z0, t0_vec, jnp.asarray(0), jnp.asarray(False))
+
+        if fused and S > 1:
+            def make_rm(kp, limit):
+                def cond_rm(st):
+                    _, _, _, k, done = st
+                    return jnp.logical_and(jnp.logical_not(done),
+                                           k + S <= limit)
+
+                def body_rm(st):
+                    z, z_prev, t_vec, k, _ = st
+                    z_new, z_pen, t_new, delta = \
+                        fused_group_fista_multistep(
+                            x, z, z_prev, weight, lr, thg_row, l1_th,
+                            jnp.zeros((S,)), m_fwd, m_bwd, steps=S,
+                            interpret=interpret, kernel_precision=kp,
+                            t_vec=t_vec, use_l1=use_l1)
+                    if axis_name is not None:
+                        delta = lax.psum(delta, axis_name)
+                    return (z_new, z_pen, t_new, k + S,
+                            delta <= tol_total)
+
+                return cond_rm, body_rm
+
+            if kernel_precision == "mixed":
+                n_blocks = maxiter // S
+                tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
+                c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
+                state = lax.while_loop(c1, b1, state)
+                state = state[:4] + (jnp.asarray(False),)
+                c2, b2 = make_rm("f32", maxiter)
+                state = lax.while_loop(c2, b2, state)
+            else:
+                c, b = make_rm(kernel_precision, maxiter)
+                state = lax.while_loop(c, b, state)
+
         z, _, _, k, _ = lax.while_loop(cond_r, body_r, state)
         if return_iters:
             return z, k
@@ -317,6 +409,51 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
     t0 = jnp.asarray(1.0, x.dtype)
     mom0 = jnp.asarray(0.0, x.dtype)
     init = (z0, z0, t0, mom0, jnp.asarray(0), jnp.asarray(False))
+
+    if fused and S > 1:
+        def make_multi(kp, limit):
+            def cond_multi(state):
+                _, _, _, _, k, done = state
+                return jnp.logical_and(jnp.logical_not(done),
+                                       k + S <= limit)
+
+            def body_multi(state):
+                z, z_prev, t, mom, k, _ = state
+                # unroll the (data-independent) t/momentum recurrence
+                mom_list = []
+                t_c, m_c = t, mom
+                for _ in range(S):
+                    mom_list.append(m_c)
+                    if fast:
+                        t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
+                        m_c = (t_c - 1) / t_n
+                        t_c = t_n
+                z_next, z_pen, delta = fused_group_fista_multistep(
+                    x, z, z_prev, weight, lr, thg_row, l1_th,
+                    jnp.stack(mom_list), m_fwd, m_bwd, steps=S,
+                    interpret=interpret, kernel_precision=kp,
+                    use_l1=use_l1)
+                if axis_name is not None:
+                    delta = lax.psum(delta, axis_name)
+                return (z_next, z_pen, t_c, m_c, k + S,
+                        delta <= tol_total)
+
+            return cond_multi, body_multi
+
+        if kernel_precision == "mixed":
+            n_blocks = maxiter // S
+            tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
+            c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
+            st = lax.while_loop(c1, b1, init)
+            # bf16-grade convergence statistic: drop it so the f32 tail
+            # always runs (never stops earlier than an all-f32 run)
+            init = st[:5] + (jnp.asarray(False),)
+            c2, b2 = make_multi("f32", maxiter)
+            init = lax.while_loop(c2, b2, init)
+        else:
+            c, b = make_multi(kernel_precision, maxiter)
+            init = lax.while_loop(c, b, init)
+
     z, _, _, _, k, _ = lax.while_loop(cond, body, init)
     if return_iters:
         return z, k

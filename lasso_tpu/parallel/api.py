@@ -42,7 +42,7 @@ _AXIS_NAME_ALGOS = ("ista", "interior-point", "group-ista")
 # Solvers with a use_pallas switch: under the GSPMD route they must run
 # the plain XLA path — a pallas_call is a custom call GSPMD cannot
 # partition, and on TPU 'auto' would otherwise engage it on global shapes.
-_PALLAS_ALGOS = ("ista", "cd", "cd-mod", "omp")
+_PALLAS_ALGOS = ("ista", "cd", "cd-mod", "omp", "group-ista")
 
 
 def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,

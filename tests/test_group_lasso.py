@@ -243,3 +243,74 @@ def test_group_dict_learning_smoke(rng):
     losses = np.asarray(losses)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ---------------- fused Pallas kernel (ops/fused_group) ----------------
+
+def _aligned_problem(rng, n=16, d=128, k=256):
+    W = rng.randn(d, k).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.randn(n, d).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(W)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(groups=8),                                     # contiguous blocks
+    dict(groups="ids"),                                 # arbitrary ids
+    dict(groups=8, group_weights="yuanlin"),            # weighted
+    dict(groups=8, l1_alpha=0.05),                      # sparse-group
+    dict(groups=8, restart=True),                       # per-row restart
+    dict(groups=8, fast=False),                         # plain ISTA
+])
+def test_fused_group_matches_xla(rng, cfg):
+    """The fused S-step kernel (interpret mode, split-float f32) must
+    reproduce the unfused XLA path for every prox/momentum variant."""
+    x, W = _aligned_problem(rng)
+    cfg = dict(cfg)
+    k = W.shape[1]
+    if cfg["groups"] == "ids":
+        ids = np.asarray(rng.permutation(np.repeat(np.arange(16), k // 16)),
+                         dtype=np.int32)
+        cfg["groups"] = ids
+    if cfg.get("group_weights") == "yuanlin":
+        cfg["group_weights"] = np.full((k // 8,), np.sqrt(8.0),
+                                       np.float32)
+    z0 = jnp.zeros((x.shape[0], k), jnp.float32)
+    kw = dict(alpha=0.3, maxiter=32, tol=0.0, lr=0.15, **cfg)
+    z_xla = group_ista(x, z0, W, use_pallas=False, **kw)
+    z_fused = group_ista(x, z0, W, use_pallas=True, **kw)
+    # atol-only, matching test_fused_ista's multistep convention: the
+    # split-float scheme is f32-grade in absolute terms (~2e-5 over 32
+    # fused iterations); near-zero coordinates have no stable rel error
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_xla),
+                               atol=1e-4)
+
+
+def test_fused_group_tol_never_stops_early(rng):
+    """Block-boundary convergence checks: the fused path may run MORE
+    iterations than the unfused (checks every S), never fewer, and must
+    land at an equal-or-lower objective."""
+    x, W = _aligned_problem(rng)
+    z0 = jnp.zeros((x.shape[0], W.shape[1]), jnp.float32)
+    kw = dict(alpha=0.3, groups=8, maxiter=64, tol=1e-6, lr=0.15)
+    z_xla, k_xla = group_ista(x, z0, W, use_pallas=False,
+                              return_iters=True, **kw)
+    z_f, k_f = group_ista(x, z0, W, use_pallas=True, return_iters=True,
+                          **kw)
+    assert int(k_f) >= int(k_xla)
+    obj = lambda z: float(group_lasso_objective(x, W, z, 0.3, 8))
+    assert obj(z_f) <= obj(z_xla) * (1 + 1e-6)
+
+
+def test_fused_group_mixed_precision_close(rng):
+    """'mixed' continuation: bf16 bulk + f32 tail must land within a few
+    f32 ulps-of-objective of the all-f32 kernel run."""
+    x, W = _aligned_problem(rng)
+    z0 = jnp.zeros((x.shape[0], W.shape[1]), jnp.float32)
+    kw = dict(alpha=0.3, groups=8, maxiter=32, tol=0.0, lr=0.15,
+              use_pallas=True)
+    z_f32 = group_ista(x, z0, W, kernel_precision="f32", **kw)
+    z_mix = group_ista(x, z0, W, kernel_precision="mixed", **kw)
+    obj = lambda z: float(group_lasso_objective(x, W, z, 0.3, 8))
+    rel = abs(obj(z_mix) - obj(z_f32)) / abs(obj(z_f32))
+    assert rel < 5e-5, rel
