@@ -137,6 +137,122 @@ def make_implicit_encoder(algorithm="ista", support_eps=1e-7, ridge=0.0,
     return encode
 
 
+def make_implicit_group_encoder(groups, group_weights=None, l1_alpha=0.0,
+                                support_eps=1e-7, ridge=0.0, cg_iters=200,
+                                cg_tol=1e-12, **solver_kwargs):
+    """Build ``encode(x, weight, alpha) -> z`` for the GROUP lasso /
+    sparse-group lasso, differentiable in (x, weight, alpha) via the
+    implicit function theorem.
+
+    Forward: :func:`~lasso_tpu.linear.solvers.group_lasso.group_ista`
+    (``groups`` / ``group_weights`` / ``l1_alpha`` as there;
+    ``solver_kwargs`` thread through). Backward: at a solution, on the
+    coordinate support S (coordinates of groups with ``||z_g|| > 0``;
+    a sparse-group l1 term may zero coordinates WITHIN an active group
+    — the group-norm term is smooth there, so the plain ``|z| > eps``
+    mask stays exact a.e.), the KKT system
+
+        W_S^T (W_S z - x) + alpha * w_g * z_g / ||z_g|| + l1 sign(z_S) = 0
+
+    has support Jacobian ``H = W_S^T W_S + alpha * sum_g w_g B_g`` with
+    the group-norm curvature ``B_g = (I - n_g n_g^T) / ||z_g||``,
+    ``n_g = z_g / ||z_g||``. ``Adot`` applies H matrix-free: two
+    dictionary matmuls plus the B-blocks via the same one-hot
+    membership matmuls as the solver's prox — nothing [B, K, K]-sized
+    exists. VJPs:
+
+        u         = H^{-1} zbar_S            (per-row guarded CG)
+        x_bar     = u W^T
+        W_bar     = -(R^T u + W (u^T z))     (penalty is W-free)
+        alpha_bar = -sum u * w_g * n         (per alpha's shape)
+
+    ``alpha`` may be a scalar or per-sample [N] / [N, 1]. ``l1_alpha``
+    and ``group_weights`` are treated as constants (not differentiated).
+    B_g is singular along n_g (curvature only ACROSS the group sphere),
+    so H inherits W_S^T W_S's conditioning there — the per-row CG's
+    freeze/best-iterate guards and the ``ridge`` knob apply as in
+    :func:`make_implicit_encoder`.
+    """
+    import numpy as np
+
+    from lasso_tpu.linear.solvers.group_lasso import (group_ista,
+                                                      resolve_groups)
+
+    prec = get_precision(None)
+
+    def _member(K):
+        kind, data, n_groups = resolve_groups(groups, K)
+        ids = (np.repeat(np.arange(n_groups, dtype=np.int32), data)
+               if kind == "block" else data)
+        member = np.zeros((K, n_groups), np.float32)
+        member[np.arange(K), ids] = 1.0
+        w = (np.ones((n_groups,), np.float32) if group_weights is None
+             else np.asarray(group_weights, np.float32))
+        return jnp.asarray(member), jnp.asarray(w)
+
+    @jax.custom_vjp
+    def encode(x, weight, alpha):
+        z0 = jnp.zeros((x.shape[0], weight.shape[1]), x.dtype)
+        return group_ista(x, z0, weight, alpha, groups=groups,
+                          group_weights=group_weights, l1_alpha=l1_alpha,
+                          **solver_kwargs)
+
+    def fwd(x, weight, alpha):
+        z = encode(x, weight, alpha)
+        return z, (x, weight, jnp.asarray(alpha), z)
+
+    def bwd(res, zbar):
+        x, weight, alpha, z = res
+        K = weight.shape[1]
+        member, w_g = _member(K)
+        mask = (jnp.abs(z) > support_eps).astype(z.dtype)
+
+        a_col = alpha if alpha.ndim == 0 else alpha.reshape(-1, 1)
+
+        hp = lambda m: jnp.matmul(m, member.T, precision=prec)  # [N,G]->[N,K]
+        gsum = lambda v: jnp.matmul(v, member, precision=prec)  # [N,K]->[N,G]
+
+        norms_g = jnp.sqrt(gsum(jnp.square(z)))                 # [N, G]
+        act = norms_g > support_eps
+        inv_n = jnp.where(act, 1.0 / jnp.where(act, norms_g, 1.0), 0.0)
+        n_dir = z * hp(inv_n)                                   # unit dirs
+        w_coord = hp(jnp.broadcast_to(w_g[None, :],
+                                      (1, w_g.shape[0])))       # [1, K]
+
+        def Adot(u):
+            um = u * mask
+            Hu = jnp.matmul(jnp.matmul(um, weight.T, precision=prec),
+                            weight, precision=prec)
+            # group-norm curvature: w_g/||z_g|| * (u_g - n_g <n_g, u_g>)
+            proj = n_dir * hp(gsum(n_dir * um))
+            Hu = Hu + a_col * w_coord * hp(inv_n) * (um - proj)
+            if ridge:
+                Hu = Hu + ridge * um
+            return mask * Hu
+
+        dot = lambda a, c: jnp.sum(a * c, axis=1, keepdims=True)
+        u = conjgrad_per_row(zbar * mask, Adot, dot,
+                             maxiter=cg_iters, tol=cg_tol) * mask
+
+        x_bar = jnp.matmul(u, weight.T, precision=prec)
+        R = jnp.matmul(z, weight.T, precision=prec) - x
+        W_bar = -(jnp.matmul(R.T, u, precision=prec)
+                  + jnp.matmul(weight, jnp.matmul(u.T, z, precision=prec),
+                               precision=prec))
+
+        ds = -u * w_coord * n_dir
+        if alpha.ndim == 0:
+            a_bar = jnp.sum(ds)
+        elif alpha.ndim == 1:                                     # [N]
+            a_bar = jnp.sum(ds, axis=1)
+        else:                                                     # [N, 1]
+            a_bar = jnp.sum(ds, axis=1, keepdims=True)
+        return x_bar, W_bar, a_bar.astype(alpha.dtype)
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
 def implicit_sparse_encode(x, weight, alpha, algorithm="ista",
                            support_eps=1e-7, ridge=0.0, cg_iters=200,
                            cg_tol=1e-12, **solver_kwargs):

@@ -99,9 +99,12 @@ def _make_group_prox(kind, data, n_groups, n_components, weights):
         def prox(v, theta):
             n = v.shape[0]
             vb = v.reshape(n, n_groups, gs)
-            norms = jnp.sqrt(jnp.sum(jnp.square(vb), axis=-1))  # [N, G]
+            sq = jnp.sum(jnp.square(vb), axis=-1)               # [N, G]
+            nz = sq > 0.0
+            # double-where: sqrt'(0) = inf would NaN reverse-mode through
+            # zeroed groups (e.g. unrolled autodiff of the solve)
+            norms = jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
             th = theta if w is None else theta * w
-            nz = norms > 0.0
             scale = jnp.where(
                 nz, jnp.maximum(1.0 - th / jnp.where(nz, norms, 1.0), 0.0),
                 0.0)
@@ -117,9 +120,11 @@ def _make_group_prox(kind, data, n_groups, n_components, weights):
     def prox(v, theta):
         sq = jnp.square(v)
         gsq = jnp.matmul(sq, member, precision=lax.Precision.HIGHEST)
-        norms = jnp.sqrt(gsq)                                    # [N, G]
+        nz = gsq > 0.0
+        # double-where (see the block branch): keep reverse-mode finite
+        # through zeroed groups
+        norms = jnp.where(nz, jnp.sqrt(jnp.where(nz, gsq, 1.0)), 0.0)
         th = theta if w is None else theta * w
-        nz = norms > 0.0
         scale = jnp.where(
             nz, jnp.maximum(1.0 - th / jnp.where(nz, norms, 1.0), 0.0),
             0.0)
@@ -153,13 +158,19 @@ def group_lasso_objective(x, weight, z, alpha, groups, weights=None,
     prec = get_precision(precision)
     kind, data, n_groups = resolve_groups(groups, weight.shape[1])
     resid = jnp.matmul(z, weight.T, precision=prec) - x
+    def _safe_sqrt(sq):
+        # double-where: keep the objective reverse-differentiable at
+        # exactly-zeroed groups (sqrt'(0) = inf otherwise)
+        nz = sq > 0.0
+        return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
     if kind == "block":
         zb = z.reshape(z.shape[0], n_groups, data)
-        norms = jnp.sqrt(jnp.sum(jnp.square(zb), axis=-1))
+        norms = _safe_sqrt(jnp.sum(jnp.square(zb), axis=-1))
     else:
         member = jnp.asarray(np.eye(n_groups, dtype=np.float32)[data])
-        norms = jnp.sqrt(jnp.matmul(jnp.square(z), member,
-                                    precision=lax.Precision.HIGHEST))
+        norms = _safe_sqrt(jnp.matmul(jnp.square(z), member,
+                                      precision=lax.Precision.HIGHEST))
     w = jnp.ones((n_groups,)) if weights is None else jnp.asarray(weights)
     # sum(l1_alpha * |z|) also covers the internal per-sample [N, 1] form
     pen = alpha * jnp.sum(norms * w) + jnp.sum(l1_alpha * jnp.abs(z))
