@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Sharded test runner for constrained (single-CPU) boxes.
+#
+# A single-process `pytest tests/` run accumulates hundreds of XLA-CPU
+# compilations; on long (~45 min+) single-core runs the compiler has
+# been observed to segfault late in the suite (always in
+# backend_compile_and_load, on programs that compile fine in a fresh
+# process). Three fresh interpreter shards bound the per-process
+# compile count and sidestep it. On multi-core boxes a plain
+# `python -m pytest tests/ -q` is fine and faster.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+shard () {
+  echo "=== shard: $* ==="
+  python -m pytest -q "$@" || return $?
+}
+
+rc=0
+shard tests/test_conv2d.py tests/test_conv_dict_learning.py \
+      tests/test_conv_ops.py tests/test_coordinate_descent.py \
+      tests/test_dict_learning.py tests/test_dict_learning_online.py \
+      tests/test_elastic_net.py tests/test_fused_ista.py || rc=$?
+shard tests/test_gpsr.py tests/test_group_lasso.py \
+      tests/test_heavy_solvers.py tests/test_implicit.py \
+      tests/test_implicit_conv.py tests/test_implicit_group.py \
+      tests/test_implicit_nl.py tests/test_ista.py \
+      tests/test_iterative_ridge.py tests/test_linalg.py \
+      tests/test_mixed_precision.py tests/test_multihost.py || rc=$?
+shard tests/test_native.py tests/test_nonlinear.py \
+      tests/test_nonlinear_golden.py tests/test_nonneg.py \
+      tests/test_observability.py tests/test_omp.py \
+      tests/test_parallel.py tests/test_per_feature_alpha.py \
+      tests/test_per_sample_alpha.py tests/test_properties.py \
+      tests/test_screening.py tests/test_utils.py \
+      tests/test_x64_parity.py || rc=$?
+exit $rc
