@@ -3,6 +3,7 @@ from lasso_tpu.parallel.api import (data_parallel_encode,
                                     data_parallel_encode_nl,
                                     make_conv_train_step,
                                     make_online_train_step,
+                                    make_task_driven_step,
                                     make_train_step)
 from lasso_tpu.parallel.distributed import (initialize, make_global_mesh,
                                             process_local_batch)
@@ -14,5 +15,6 @@ __all__ = [
     "replicated", "data_parallel_encode", "data_parallel_encode_conv2d",
     "data_parallel_encode_nl", "make_train_step",
     "make_conv_train_step", "make_online_train_step",
+    "make_task_driven_step",
     "initialize", "make_global_mesh", "process_local_batch",
 ]

@@ -264,6 +264,52 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
     return (lambda x, weight: jit_step(x, weight, _dummy_key)), (x_sh, w_sh)
 
 
+def make_task_driven_step(mesh, downstream_loss, alpha=0.1, opt_lr=0.05,
+                          algorithm="ista", normalize_atoms=True,
+                          **enc_kwargs):
+    """One jitted TASK-DRIVEN dictionary-training step over a mesh.
+
+    The differentiable encoder
+    (:func:`lasso_tpu.linear.make_implicit_encoder`) runs under GSPMD
+    with ``x`` sharded over 'data' and ``W`` replicated: the forward
+    FISTA matmuls and the IFT backward's masked-CG matmuls partition
+    along the batch axis identically, and the partitioner inserts the
+    cross-shard reduction of the (replicated) dictionary cotangent —
+    the mesh version of the example's single-chip loop
+    (examples/task_driven_dict_learning.py).
+
+    ``downstream_loss(x, z, weight) -> scalar`` is the user's training
+    objective (sum or mean over the GLOBAL batch). ``enc_kwargs`` thread
+    to the encoder/solver (``use_pallas`` is forced off — a pallas_call
+    is a custom call GSPMD cannot partition). ``normalize_atoms`` clips
+    atom norms to <= 1 after the gradient step (plain projected GD).
+
+    Returns ``(step, (x_sharding, w_sharding))`` with
+    ``step(x, W) -> (W_new, loss)``.
+    """
+    from lasso_tpu.linear.implicit import make_implicit_encoder
+
+    enc_kwargs.setdefault("use_pallas", False)
+    enc = make_implicit_encoder(algorithm=algorithm, **enc_kwargs)
+    x_sh, w_sh = data_sharding(mesh), replicated(mesh)
+
+    def step(x, weight):
+        def loss_fn(w):
+            z = enc(x, w, jnp.asarray(alpha, x.dtype))
+            return downstream_loss(x, z, w)
+
+        loss, g = jax.value_and_grad(loss_fn)(weight)
+        w_new = weight - opt_lr * g
+        if normalize_atoms:
+            w_new = w_new / jnp.maximum(
+                jnp.linalg.norm(w_new, axis=0, keepdims=True), 1.0)
+        return w_new, loss
+
+    fn = jax.jit(step, in_shardings=(x_sh, w_sh),
+                 out_shardings=(w_sh, replicated(mesh)))
+    return fn, (x_sh, w_sh)
+
+
 def make_conv_train_step(mesh, alpha=1.0, kernel_size=7, stride=1,
                          padding=0, constrained=True, lambd=None,
                          cg_iters=30, eps=1e-10, **solver_kwargs):

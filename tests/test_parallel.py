@@ -339,3 +339,43 @@ def test_data_parallel_encode_ista_restart(rng, mesh8):
                                    tol=1e-8, restart=True)
     np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
                                atol=1e-5)
+
+
+def test_task_driven_step_matches_single_device(rng, mesh8):
+    """Sharded implicit-gradient (task-driven) training step == the same
+    step computed without the mesh: forward FISTA, IFT backward CG, and
+    the dictionary-cotangent reduction all partition over 'data'."""
+    from lasso_tpu.linear import make_implicit_encoder
+    from lasso_tpu.parallel import make_task_driven_step
+
+    x, W = make_problem(rng, n=64, d=16, k=32)
+    sol = dict(maxiter=400, tol=0.0, lr=0.15)
+
+    def downstream(xx, z, w):
+        return 0.5 * jnp.sum(jnp.square(jnp.matmul(z, w.T) - xx))
+
+    step, (x_sh, w_sh) = make_task_driven_step(
+        mesh8, downstream, alpha=0.2, opt_lr=0.01, **sol)
+    W_sh, loss_sh = step(jax.device_put(x, x_sh), jax.device_put(W, w_sh))
+
+    enc = make_implicit_encoder(use_pallas=False, **sol)
+
+    def loss_fn(w):
+        z = enc(x, w, jnp.asarray(0.2))
+        return downstream(x, z, w)
+
+    loss_1, g = jax.value_and_grad(loss_fn)(W)
+    W_1 = W - 0.01 * g
+    W_1 = W_1 / jnp.maximum(jnp.linalg.norm(W_1, axis=0, keepdims=True),
+                            1.0)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(W_sh), np.asarray(W_1),
+                               atol=5e-5)
+
+    # and the loss must actually go down over a few sharded steps
+    losses = [float(loss_sh)]
+    W_c = W_sh
+    for _ in range(3):
+        W_c, l = step(jax.device_put(x, x_sh), W_c)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
