@@ -134,7 +134,7 @@ def conjgrad(b, Adot, dot, maxiter=None, tol=1e-10, rtol=1e-1,
     return x
 
 
-def conjgrad_per_row(b, Adot, dot, maxiter, tol):
+def conjgrad_per_row(b, Adot, dot, maxiter, tol, x0=None):
     """Batched CG with per-ROW semantics (vs :func:`conjgrad`'s
     batch-global stops) for PSD-per-sample operators.
 
@@ -149,8 +149,20 @@ def conjgrad_per_row(b, Adot, dot, maxiter, tol):
     implicit-function-theorem backward solves (linear + conv), where
     support-restricted Hessians routinely hit singularity at maximal
     support on overcomplete dictionaries.
+
+    ``x0`` warm-starts the iteration (e.g. OMP's support solve, where
+    the previous iteration's solution is one rank-1 update away); the
+    eps-relative tolerance floor is then relative to the *warm*
+    residual, which is the desired behavior — a good start means less
+    residual left to chase.
     """
-    rs0 = dot(b, b)
+    if x0 is None:
+        u0 = jnp.zeros_like(b)
+        r_init = -b
+    else:
+        u0 = x0
+        r_init = Adot(x0) - b
+    rs0 = dot(r_init, r_init)
     eps = jnp.finfo(b.dtype).eps
     tol_row = jnp.maximum(jnp.asarray(tol, b.dtype) ** 2,
                           (100 * eps) ** 2 * rs0)
@@ -180,8 +192,8 @@ def conjgrad_per_row(b, Adot, dot, maxiter, tol):
                   & (rs_new <= rs_blowup))
         return (u, r, p, rs_new, u_best, rs_best, active, k + 1)
 
-    u0 = jnp.zeros_like(b)
-    init = (u0, -b, b, rs0, u0, rs0, rs0 > tol_row, jnp.asarray(0))
+    init = (u0, r_init, -r_init, rs0, u0, rs0, rs0 > tol_row,
+            jnp.asarray(0))
     *_, u_best, _, _, _ = lax.while_loop(cond_fn, body_fn, init)
     return u_best
 

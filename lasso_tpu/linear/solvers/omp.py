@@ -9,20 +9,29 @@ sklearn Cholesky-update recursion:
 * a STATIC iteration count (``n_nonzero_coefs``) — every shape is fixed,
   the whole solve jits into one ``lax.while_loop``;
 * residual correlations are two dense MXU matmuls per iteration
-  (``r = x - z W^T``, ``c = r W``) — the same cost as one FISTA step, so
-  one OMP solve ~ ``n_nonzero_coefs`` FISTA iterations;
+  (``r = x - z W^T``, ``c = r W``);
 * per-sample atom selection is a masked argmax; the support lives as a
   [N, T] index matrix plus validity mask (no dynamic shapes);
-* instead of per-sample incremental Cholesky updates, each iteration
-  re-solves the support normal equations ``G_SS z_S = b_S`` exactly with
-  the batched lane-parallel Cholesky (``linalg.batch_cholesky_solve``,
-  [N, T, T] with identity padding on unused slots) — T is small
-  (<= a few hundred), so the solve is negligible next to the matmuls
-  and the result is the exact LS fit on the support every iteration.
+* the support Gram ``G_SS`` is CARRIED and updated incrementally: each
+  iteration adds one atom per sample, so only row/column ``k`` changes —
+  its values come from two one-hot MXU matmuls
+  (``w_sel = onehot(k*) W^T``, ``g = w_sel W``, then a [N, T]
+  take-along) instead of the naive per-iteration ``G[idx, idx]``
+  [N, T, T] gather, which XLA lowers catastrophically on TPU (measured
+  ~1 s per iteration at 16384x2048, T=64 — the gather alone was 30x the
+  matmul work);
+* the support normal equations are solved per sample either by the
+  batched lane-parallel Cholesky (exact, great for small N*T^2) or by
+  WARM-STARTED per-row CG in T-space (``solver='cg'``): the previous
+  iteration's solution is one rank-1 update away, so a handful of
+  [N, T, T] batched matvecs (bandwidth-trivial next to the MXU work)
+  re-tightens it. ``solver='auto'`` switches to CG when the Cholesky's
+  [N, T, T] factorization stops being negligible.
 
 Per-sample ``tol`` stopping (on the squared residual norm, sklearn
 semantics) freezes finished samples exactly: their support stops
-growing, and the padded re-solve reproduces their solution unchanged.
+growing, and the frozen rows of the carried system reproduce their
+solution unchanged.
 """
 
 from __future__ import annotations
@@ -33,10 +42,12 @@ from jax import lax
 
 from lasso_tpu.config import get_precision
 from lasso_tpu.linalg.basic import batch_cholesky_solve
+from lasso_tpu.linalg.conjgrad import conjgrad_per_row
 
 
 def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
                                 precision=None, gram_jitter=0.0,
+                                solver="auto", cg_tol=1e-10,
                                 use_pallas="auto", verbose=False,
                                 return_iters=False):
     """Batched OMP: ``min_z ||z W^T - x||^2  s.t. ||z||_0 <= T`` (greedy).
@@ -50,14 +61,20 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     semantics); a stopped sample's support is frozen exactly.
     ``gram_jitter``: optional diagonal jitter for the support Gram solve
     (0 by default; raise for nearly-collinear dictionaries).
-    ``use_pallas`` routes the [N, T, T] support solve through the
-    lane-parallel Pallas Cholesky when supported.
+    ``solver``: 'chol' re-solves the carried [N, T, T] support system
+    with the batched (lane-parallel Pallas when ``use_pallas``) Cholesky
+    each iteration; 'cg' uses warm-started per-row conjugate gradient
+    (tolerance ``cg_tol`` on the T-space residual norm, max T+8 iters —
+    typically a handful thanks to the warm start); 'auto' picks 'cg'
+    once ``N * T^2`` crosses the point where the Cholesky stops being
+    negligible.
 
     Atom selection normalizes correlations by column norms (exact greedy
     residual-decrease criterion; a no-op for unit-norm dictionaries).
 
-    Returns ``z`` ([N, K]; exactly the LS fit on the selected support),
-    plus the executed iteration count when ``return_iters``.
+    Returns ``z`` ([N, K]; the LS fit on the selected support — exact
+    under 'chol', ``cg_tol``-tight under 'cg'), plus the executed
+    iteration count when ``return_iters``.
     """
     prec = get_precision(precision)
     N, D = x.shape
@@ -69,6 +86,14 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         raise ValueError(
             f"n_nonzero_coefs must be in [1, min(D, K)] = "
             f"[1, {min(D, K)}], got {T}")
+    if solver == "auto":
+        # measured crossover: the lane-parallel Cholesky stays ahead of
+        # warm-started CG through [16384, 64, 64] (3.8 vs 4.3 s/solve);
+        # CG takes over when the [N, T, T] factorization truly bites
+        solver = "cg" if N * T * T > (1 << 27) else "chol"
+    if solver not in ("chol", "cg"):
+        raise ValueError(f"solver must be 'chol', 'cg' or 'auto', got "
+                         f"{solver!r}")
 
     G = jnp.matmul(weight.T, weight, precision=prec)        # [K, K]
     b = jnp.matmul(x, weight, precision=prec)               # [N, K]
@@ -83,11 +108,11 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         return jnp.zeros((N, K), x.dtype).at[rows[:, None], idx].add(z_s)
 
     def cond(state):
-        _, _, _, _, active, k = state
+        _, _, _, _, _, active, k = state
         return jnp.logical_and(jnp.any(active), k < T)
 
     def body(state):
-        idx, valid, z_s, sel, active, k = state
+        idx, valid, z_s, G_ss, sel, active, k = state
         z_dense = scatter_codes(idx, z_s)
         r = x - jnp.matmul(z_dense, weight.T, precision=prec)  # [N, D]
         if tol_v is not None or verbose:
@@ -101,30 +126,46 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         score = jnp.where(sel, -1.0, jnp.abs(c) / col_norm)
         k_star = jnp.argmax(score, axis=1)                     # [N]
 
-        onehot = jax.nn.one_hot(k_star, K, dtype=bool)
-        sel = jnp.logical_or(sel, jnp.logical_and(onehot,
+        onehot_b = jax.nn.one_hot(k_star, K, dtype=bool)
+        sel = jnp.logical_or(sel, jnp.logical_and(onehot_b,
                                                   active[:, None]))
         idx = idx.at[:, k].set(jnp.where(active, k_star, 0))
         valid = valid.at[:, k].set(active)
 
-        # support normal equations with identity padding on unused slots
-        G_ss = G[idx[:, :, None], idx[:, None, :]]             # [N, T, T]
-        v2 = jnp.logical_and(valid[:, :, None], valid[:, None, :])
-        G_ss = jnp.where(v2, G_ss, eyeT)
-        if gram_jitter:
-            G_ss = G_ss + gram_jitter * eyeT
+        # incremental Gram row: W[:, k*] per sample via one-hot MXU
+        # matmuls (a dynamic row gather from G lowers catastrophically)
+        onehot_f = jax.nn.one_hot(k_star, K, dtype=x.dtype)
+        w_sel = jnp.matmul(onehot_f, weight.T, precision=prec)  # [N, D]
+        g_full = jnp.matmul(w_sel, weight, precision=prec)      # [N, K]
+        g_row = jnp.take_along_axis(g_full, idx, axis=1)        # [N, T]
+        row_k = jnp.where(active[:, None],
+                          jnp.where(valid, g_row, 0.0),
+                          eyeT[k])
+        G_ss = G_ss.at[:, k, :].set(row_k)
+        G_ss = G_ss.at[:, :, k].set(row_k)
+
+        G_sys = G_ss + gram_jitter * eyeT if gram_jitter else G_ss
         b_s = jnp.where(valid, jnp.take_along_axis(b, idx, axis=1), 0.0)
-        z_s = batch_cholesky_solve(b_s, G_ss, use_pallas=use_pallas)
-        z_s = jnp.where(valid, z_s, 0.0)
-        return (idx, valid, z_s, sel, active, k + 1)
+        if solver == "chol":
+            z_new = batch_cholesky_solve(b_s, G_sys,
+                                         use_pallas=use_pallas)
+        else:
+            Adot = lambda u: jnp.matmul(
+                G_sys, u[:, :, None], precision=prec)[:, :, 0]
+            dot = lambda a, c2: jnp.sum(a * c2, axis=1, keepdims=True)
+            z_new = conjgrad_per_row(b_s, Adot, dot, maxiter=T + 8,
+                                     tol=cg_tol, x0=z_s)
+        z_new = jnp.where(valid, z_new, 0.0)
+        return (idx, valid, z_new, G_ss, sel, active, k + 1)
 
     init = (jnp.zeros((N, T), jnp.int32),
             jnp.zeros((N, T), bool),
             jnp.zeros((N, T), x.dtype),
+            jnp.broadcast_to(eyeT, (N, T, T)),
             jnp.zeros((N, K), bool),
             jnp.ones((N,), bool),
             jnp.asarray(0))
-    idx, valid, z_s, _, _, k = lax.while_loop(cond, body, init)
+    idx, valid, z_s, _, _, _, k = lax.while_loop(cond, body, init)
     z = scatter_codes(idx, z_s)
     if return_iters:
         return z, k

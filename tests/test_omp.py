@@ -123,3 +123,13 @@ def test_validation(problem):
         omp(x, W, n_nonzero_coefs=0)
     with pytest.raises(ValueError):
         omp(x, W, n_nonzero_coefs=33)   # > D
+
+
+def test_cg_solver_matches_cholesky(problem):
+    """The warm-started CG support solve must reproduce the Cholesky
+    path's codes (same supports, cg_tol-tight coefficients)."""
+    x, W = problem
+    z_ch = np.asarray(omp(x, W, n_nonzero_coefs=6, solver="chol"))
+    z_cg = np.asarray(omp(x, W, n_nonzero_coefs=6, solver="cg"))
+    assert (np.asarray(z_ch != 0) == np.asarray(z_cg != 0)).all()
+    np.testing.assert_allclose(z_cg, z_ch, atol=1e-5)
