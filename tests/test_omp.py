@@ -133,3 +133,26 @@ def test_cg_solver_matches_cholesky(problem):
     z_cg = np.asarray(omp(x, W, n_nonzero_coefs=6, solver="cg"))
     assert (np.asarray(z_ch != 0) == np.asarray(z_cg != 0)).all()
     np.testing.assert_allclose(z_cg, z_ch, atol=1e-5)
+
+
+def test_ksvd_style_dict_learning_converges(rng):
+    """OMP E-steps compose with the constrained unit-norm M-step —
+    K-SVD-style dictionary learning (fixed sparsity instead of an l1
+    penalty): reconstruction loss must decrease monotonically."""
+    from lasso_tpu.linear import dict_learning
+
+    k_true = 32
+    Dt = rng.standard_normal((16, k_true))
+    Dt /= np.linalg.norm(Dt, axis=0, keepdims=True)
+    Z = np.zeros((256, k_true))
+    for i in range(256):
+        s = rng.choice(k_true, 3, replace=False)
+        Z[i, s] = rng.standard_normal(3)
+    X = jnp.asarray(Z @ Dt.T + 0.01 * rng.standard_normal((256, 16)),
+                    jnp.float32)
+    W, losses = dict_learning(X, n_components=32, alpha=0.0,
+                              constrained=True, steps=10,
+                              algorithm="omp", n_nonzero_coefs=3)
+    losses = np.asarray(losses)
+    assert np.all(np.diff(losses) <= 1e-5), losses
+    assert losses[-1] < 0.5 * losses[0], losses
