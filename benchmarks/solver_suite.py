@@ -29,6 +29,10 @@ CONFIGS = {
     "interior-point": dict(maxiter=40, tol=1e-6),
     "split-bregman": dict(maxiter=200, tol=1e-7),
     "own": dict(maxiter=200, xtol=1e-6),
+    # TPU extensions (no reference counterpart); omp reports RSS (its
+    # objective is L0-constrained LS), group-ista the group objective
+    "omp": dict(n_nonzero_coefs=32),
+    "group-ista": dict(maxiter=2000, tol=1e-7, groups=8),
 }
 
 
@@ -88,6 +92,12 @@ def main():
         elif algo == "own":
             _, k = solvers.orthant_wise_newton(W, x, zeros, alpha,
                                                return_iters=True, **kw)
+        elif algo == "omp":
+            _, k = solvers.orthogonal_matching_pursuit(
+                x, W, return_iters=True, **kw)
+        elif algo == "group-ista":
+            _, k = solvers.group_ista(x, zeros, W, alpha,
+                                      return_iters=True, **kw)
         else:
             return None
         return int(k)
@@ -113,11 +123,20 @@ def main():
                 "algorithm": algo,
                 "config": f"{args.n}x({args.d}->{args.k})",
                 "seconds": round(min(ts), 4),
-                "objective": round(float(
-                    lasso_objective(xs_np[-1], W_np, z_np, args.alpha)), 3),
-                "kkt_violation": round(float(
-                    kkt_violation(xs_np[-1], W_np, z_np, args.alpha)), 5),
             }
+            if algo == "omp":
+                rec["rss_per_sample"] = round(float(np.mean(np.sum(
+                    (z_np @ W_np.T - xs_np[-1]) ** 2, axis=1))), 4)
+            elif algo == "group-ista":
+                from lasso_tpu.linear.solvers import group_lasso_objective
+                rec["group_objective"] = round(float(group_lasso_objective(
+                    jnp.asarray(xs_np[-1]), W, jnp.asarray(z_np),
+                    args.alpha, 8)) / args.n, 3)
+            else:
+                rec["objective"] = round(float(
+                    lasso_objective(xs_np[-1], W_np, z_np, args.alpha)), 3)
+                rec["kkt_violation"] = round(float(
+                    kkt_violation(xs_np[-1], W_np, z_np, args.alpha)), 5)
             if n_it is not None:
                 rec["iterations"] = n_it
                 if min(ts) > 0:
