@@ -28,7 +28,10 @@ def lasso_path(x, weight, alphas, algorithm="ista", mode="batched",
 
     ``alphas`` must be positive. Extra kwargs flow to
     :func:`lasso_tpu.linear.sparse_encode` (``algorithm``, ``maxiter``,
-    ``kernel_precision``, ...).
+    ``kernel_precision``, ...). Any dispatched algorithm with
+    per-sample-alpha support works — including ``'group-ista'`` (the
+    group norm is 1-homogeneous, so the same row-rescaling reduction
+    applies; pass ``groups=...``).
     """
     from lasso_tpu.linear.sparse_encode import sparse_encode
 

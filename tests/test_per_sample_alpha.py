@@ -242,3 +242,23 @@ def test_chunked_encode_vector_alpha(rng):
     with pytest.raises(ValueError):
         chunked_encode(x, W, alpha=alphas, chunk_size=16, screen=True,
                        **kw)
+
+
+def test_group_lasso_path_batched_matches_individual(rng):
+    """The one-dispatch batched path generalizes to group-ista (the
+    group norm is 1-homogeneous, so the same per-sample-alpha reduction
+    applies)."""
+    from lasso_tpu.linear import lasso_path
+    from lasso_tpu.linear import sparse_encode as se
+
+    W = rng.standard_normal((16, 32)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    W = jnp.asarray(W)
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    alphas = [0.1, 0.3, 0.6]
+    kw = dict(algorithm="group-ista", groups=4, maxiter=2000, tol=0.0,
+              lr=0.15)
+    path = np.asarray(lasso_path(x, W, alphas, **kw))
+    for i, a in enumerate(alphas):
+        z1 = np.asarray(se(x, W, a, **kw))
+        np.testing.assert_allclose(path[i], z1, atol=1e-4)
