@@ -181,6 +181,27 @@ def main():
                     "system": "pytorch-lasso[cpu]", "algorithm": algo,
                     "error": str(e).splitlines()[0][:120]}), flush=True)
 
+        # OMP has no reference counterpart; sklearn's orthogonal_mp is
+        # the standard CPU baseline (precompute=True = Gram mode)
+        try:
+            from sklearn.linear_model import orthogonal_mp
+            t0 = time.perf_counter()
+            z_sk = orthogonal_mp(W_np, xs_np[-1].T, n_nonzero_coefs=32,
+                                 precompute=True).T
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "system": "sklearn[cpu]", "algorithm": "omp",
+                "config": f"{args.n}x({args.d}->{args.k})",
+                "seconds": round(dt, 4),
+                "rss_per_sample": round(float(np.mean(np.sum(
+                    (z_sk @ W_np.T - xs_np[-1]) ** 2, axis=1))), 4),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"system": "sklearn[cpu]",
+                              "algorithm": "omp",
+                              "error": str(e).splitlines()[0][:120]}),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
