@@ -191,3 +191,25 @@ def test_cli_encode_and_train(tmp_path, rng):
          "--solver-args", '{"maxiter": 100, "tol": 0.0, "lr": 0.1}'])
     Z = np.load(z_path)
     assert Z.shape == (48, 16) and np.all(np.isfinite(Z))
+
+
+def test_chunked_encode_group_and_omp(rng):
+    """The chunked serving path composes with the round-3 solver
+    families (group-ista structure kwargs, OMP's alpha-free contract)."""
+    import jax.numpy as jnp
+    from lasso_tpu.linear import sparse_encode
+    from lasso_tpu.utils import chunked_encode
+
+    W = rng.standard_normal((16, 32)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    cases = (("group-ista", dict(groups=4, maxiter=500, tol=0.0,
+                                 lr=0.15)),
+             ("omp", dict(n_nonzero_coefs=4)))
+    for algo, kw in cases:
+        zc = chunked_encode(x, jnp.asarray(W), alpha=0.2, chunk_size=16,
+                            algorithm=algo, **kw)
+        z1 = sparse_encode(jnp.asarray(x), jnp.asarray(W), 0.2,
+                           algorithm=algo, **kw)
+        np.testing.assert_allclose(np.asarray(zc), np.asarray(z1),
+                                   atol=5e-5)
