@@ -96,18 +96,26 @@ def make_implicit_encoder(algorithm="ista", support_eps=1e-7, ridge=0.0,
     ``solver_kwargs`` adds the same quadratic to the KKT system, so the
     backward solve uses ``H_SS + l2 I`` (folded into the CG ridge) and
     every VJP formula is otherwise unchanged.
+
+    The returned ``encode(x, weight, alpha, z0=None)`` accepts an
+    optional WARM-START code (e.g. the previous training step's ``z``
+    under slowly-moving ``weight`` — the same ``persist`` trick as
+    ``dict_learning``): with ``tol > 0`` the forward converges in a
+    fraction of the cold iterations. ``z0`` is a solver input, not a
+    differentiation variable — at the optimum the solution does not
+    depend on it, so its cotangent is zero by IFT semantics.
     """
     prec = get_precision(None)
     # elastic-net quadratic enters the support Hessian exactly as a ridge
     ridge = ridge + float(solver_kwargs.get("l2", 0.0))
 
     @jax.custom_vjp
-    def encode(x, weight, alpha):
-        return sparse_encode(x, weight, alpha, algorithm=algorithm,
-                             **solver_kwargs)
+    def encode4(x, weight, alpha, z0):
+        return sparse_encode(x, weight, alpha, z0=z0,
+                             algorithm=algorithm, **solver_kwargs)
 
-    def fwd(x, weight, alpha):
-        z = encode(x, weight, alpha)
+    def fwd(x, weight, alpha, z0):
+        z = encode4(x, weight, alpha, z0)
         return z, (x, weight, jnp.asarray(alpha), z)
 
     def bwd(res, zbar):
@@ -131,9 +139,15 @@ def make_implicit_encoder(algorithm="ista", support_eps=1e-7, ridge=0.0,
             a_bar = jnp.sum(ds, axis=0, keepdims=True)
         else:                                                     # [N, 1]
             a_bar = jnp.sum(ds, axis=1, keepdims=True)
-        return x_bar, W_bar, a_bar.astype(alpha.dtype)
+        return x_bar, W_bar, a_bar.astype(alpha.dtype), jnp.zeros_like(z)
 
-    encode.defvjp(fwd, bwd)
+    encode4.defvjp(fwd, bwd)
+
+    def encode(x, weight, alpha, z0=None):
+        if z0 is None:
+            z0 = jnp.zeros((x.shape[0], weight.shape[1]), x.dtype)
+        return encode4(x, weight, jnp.asarray(alpha), z0)
+
     return encode
 
 

@@ -11,6 +11,16 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# completeness guard: every tests/test_*.py must appear in a shard below,
+# so a new test file cannot be silently skipped
+listed=$(grep -o "tests/test[a-z_0-9]*\.py" "$0" | sort -u)
+actual=$(ls tests/test_*.py | sort -u)
+if [ "$listed" != "$actual" ]; then
+  echo "run_tests.sh shards are out of date with tests/:" >&2
+  diff <(echo "$listed") <(echo "$actual") >&2 || true
+  exit 2
+fi
+
 shard () {
   echo "=== shard: $* ==="
   python -m pytest -q "$@" || return $?

@@ -251,3 +251,32 @@ def test_support_mask_and_cg_guards():
         g = jax.grad(lambda ww: jnp.sum(enc(xj, ww, a_big)))(Wj)
         assert np.all(np.asarray(g) == 0.0)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_warm_start_z0_same_gradients_fewer_iterations():
+    """encode(..., z0=prev) must reach the same optimum and gradients
+    (z0 is a solver input with zero cotangent), and with tol > 0 the
+    warm forward must execute far fewer iterations."""
+    x, W, c = _problem(seed=3)
+    with jax.enable_x64():
+        xj, Wj, cj = map(jnp.asarray, (x, W, c))
+        a0 = jnp.asarray(0.25)
+        enc = make_implicit_encoder(**SOLVE)
+        z_cold = enc(xj, Wj, a0)
+
+        f_cold = lambda ww: jnp.sum(enc(xj, ww, a0) * cj)
+        f_warm = lambda ww: jnp.sum(enc(xj, ww, a0, z_cold) * cj)
+        g_cold = jax.grad(f_cold)(Wj)
+        g_warm = jax.grad(f_warm)(Wj)
+        np.testing.assert_allclose(np.asarray(g_warm), np.asarray(g_cold),
+                                   rtol=1e-8, atol=1e-10)
+
+        # iteration economics via the raw solver (the encoder's forward)
+        from lasso_tpu.linear import sparse_encode
+        _, k_cold = sparse_encode(xj, Wj, a0, maxiter=4000, tol=1e-10,
+                                  lr=LR, use_pallas=False,
+                                  return_iters=True)
+        _, k_warm = sparse_encode(xj, Wj, a0, z0=z_cold, maxiter=4000,
+                                  tol=1e-10, lr=LR, use_pallas=False,
+                                  return_iters=True)
+        assert int(k_warm) < int(k_cold) // 4, (int(k_warm), int(k_cold))
