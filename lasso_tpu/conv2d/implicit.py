@@ -64,16 +64,12 @@ def make_implicit_conv_encoder(support_eps=1e-7, ridge=0.0, cg_iters=200,
     overcomplete filter banks.
     """
     @jax.custom_vjp
-    def encode(x, kernel, alpha):
-        code = jax.eval_shape(
-            lambda xx, ww: conv2d(xx, ww, stride=stride, padding=padding),
-            x, kernel)
-        z0 = jnp.zeros(code.shape, x.dtype)
+    def encode4(x, kernel, alpha, z0):
         return ista_conv2d(x, z0, kernel, alpha, stride=stride,
                            padding=padding, **solver_kwargs)
 
-    def fwd(x, kernel, alpha):
-        z = encode(x, kernel, alpha)
+    def fwd(x, kernel, alpha, z0):
+        z = encode4(x, kernel, alpha, z0)
         return z, (x, kernel, jnp.asarray(alpha), z)
 
     def bwd(res, zbar):
@@ -111,9 +107,21 @@ def make_implicit_conv_encoder(support_eps=1e-7, ridge=0.0, cg_iters=200,
             a_bar = jnp.sum(ds, axis=(1, 2, 3)).reshape(alpha.shape)
         else:
             raise ValueError(f"unsupported alpha shape {alpha.shape}")
-        return x_bar, W_bar, a_bar.astype(alpha.dtype)
+        return x_bar, W_bar, a_bar.astype(alpha.dtype), jnp.zeros_like(z)
 
-    encode.defvjp(fwd, bwd)
+    encode4.defvjp(fwd, bwd)
+
+    def encode(x, kernel, alpha, z0=None):
+        # z0 warm start: a solver input with zero cotangent (the optimum
+        # does not depend on it) — persist codes across training steps
+        if z0 is None:
+            code = jax.eval_shape(
+                lambda xx, ww: conv2d(xx, ww, stride=stride,
+                                      padding=padding),
+                x, kernel)
+            z0 = jnp.zeros(code.shape, x.dtype)
+        return encode4(x, kernel, jnp.asarray(alpha), z0)
+
     return encode
 
 

@@ -205,14 +205,13 @@ def make_implicit_group_encoder(groups, group_weights=None, l1_alpha=0.0,
         return jnp.asarray(member), jnp.asarray(w)
 
     @jax.custom_vjp
-    def encode(x, weight, alpha):
-        z0 = jnp.zeros((x.shape[0], weight.shape[1]), x.dtype)
+    def encode4(x, weight, alpha, z0):
         return group_ista(x, z0, weight, alpha, groups=groups,
                           group_weights=group_weights, l1_alpha=l1_alpha,
                           **solver_kwargs)
 
-    def fwd(x, weight, alpha):
-        z = encode(x, weight, alpha)
+    def fwd(x, weight, alpha, z0):
+        z = encode4(x, weight, alpha, z0)
         return z, (x, weight, jnp.asarray(alpha), z)
 
     def bwd(res, zbar):
@@ -261,9 +260,16 @@ def make_implicit_group_encoder(groups, group_weights=None, l1_alpha=0.0,
             a_bar = jnp.sum(ds, axis=1)
         else:                                                     # [N, 1]
             a_bar = jnp.sum(ds, axis=1, keepdims=True)
-        return x_bar, W_bar, a_bar.astype(alpha.dtype)
+        return x_bar, W_bar, a_bar.astype(alpha.dtype), jnp.zeros_like(z)
 
-    encode.defvjp(fwd, bwd)
+    encode4.defvjp(fwd, bwd)
+
+    def encode(x, weight, alpha, z0=None):
+        # z0 warm start with zero cotangent (see make_implicit_encoder)
+        if z0 is None:
+            z0 = jnp.zeros((x.shape[0], weight.shape[1]), x.dtype)
+        return encode4(x, weight, jnp.asarray(alpha), z0)
+
     return encode
 
 
