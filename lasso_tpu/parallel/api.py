@@ -266,7 +266,7 @@ def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,
 
 def make_task_driven_step(mesh, downstream_loss, alpha=0.1, opt_lr=0.05,
                           algorithm="ista", normalize_atoms=True,
-                          **enc_kwargs):
+                          persist=False, **enc_kwargs):
     """One jitted TASK-DRIVEN dictionary-training step over a mesh.
 
     The differentiable encoder
@@ -285,7 +285,13 @@ def make_task_driven_step(mesh, downstream_loss, alpha=0.1, opt_lr=0.05,
     atom norms to <= 1 after the gradient step (plain projected GD).
 
     Returns ``(step, (x_sharding, w_sharding))`` with
-    ``step(x, W) -> (W_new, loss)``.
+    ``step(x, W) -> (W_new, loss)``. With ``persist=True`` the step
+    becomes ``step(x, W, Z0) -> (W_new, loss, Z)``: the encoder
+    warm-starts from ``Z0`` (the previous step's codes — the dictionary
+    moves slowly, so with ``tol > 0`` the forward converges in a
+    fraction of the cold iterations) and returns the new codes,
+    data-sharded, for the next step. The warm start has zero cotangent
+    (IFT semantics), so gradients are unchanged.
     """
     from lasso_tpu.linear.implicit import make_implicit_encoder
 
@@ -293,17 +299,35 @@ def make_task_driven_step(mesh, downstream_loss, alpha=0.1, opt_lr=0.05,
     enc = make_implicit_encoder(algorithm=algorithm, **enc_kwargs)
     x_sh, w_sh = data_sharding(mesh), replicated(mesh)
 
+    def finish(weight, loss, g):
+        w_new = weight - opt_lr * g
+        if normalize_atoms:
+            w_new = w_new / jnp.maximum(
+                jnp.linalg.norm(w_new, axis=0, keepdims=True), 1.0)
+        return w_new, loss
+
+    if persist:
+        def step_p(x, weight, z0):
+            def loss_fn(w):
+                z = enc(x, w, jnp.asarray(alpha, x.dtype), z0)
+                return downstream_loss(x, z, w), z
+
+            (loss, z), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(weight)
+            w_new, loss = finish(weight, loss, g)
+            return w_new, loss, z
+
+        fn = jax.jit(step_p, in_shardings=(x_sh, w_sh, x_sh),
+                     out_shardings=(w_sh, replicated(mesh), x_sh))
+        return fn, (x_sh, w_sh)
+
     def step(x, weight):
         def loss_fn(w):
             z = enc(x, w, jnp.asarray(alpha, x.dtype))
             return downstream_loss(x, z, w)
 
         loss, g = jax.value_and_grad(loss_fn)(weight)
-        w_new = weight - opt_lr * g
-        if normalize_atoms:
-            w_new = w_new / jnp.maximum(
-                jnp.linalg.norm(w_new, axis=0, keepdims=True), 1.0)
-        return w_new, loss
+        return finish(weight, loss, g)
 
     fn = jax.jit(step, in_shardings=(x_sh, w_sh),
                  out_shardings=(w_sh, replicated(mesh)))

@@ -379,3 +379,36 @@ def test_task_driven_step_matches_single_device(rng, mesh8):
         W_c, l = step(jax.device_put(x, x_sh), W_c)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_task_driven_persist_step(rng, mesh8):
+    """persist=True: a persist step from zero codes equals the plain
+    step exactly, and carrying codes across steps keeps descending."""
+    from lasso_tpu.parallel import make_task_driven_step
+
+    x, W = make_problem(rng, n=64, d=16, k=32)
+    sol = dict(maxiter=400, tol=0.0, lr=0.15)
+
+    def downstream(xx, z, w):
+        return 0.5 * jnp.sum(jnp.square(jnp.matmul(z, w.T) - xx))
+
+    step_p, (x_sh, w_sh) = make_task_driven_step(
+        mesh8, downstream, alpha=0.2, opt_lr=0.01, persist=True, **sol)
+    step, _ = make_task_driven_step(
+        mesh8, downstream, alpha=0.2, opt_lr=0.01, **sol)
+
+    xd = jax.device_put(x, x_sh)
+    wd = jax.device_put(W, w_sh)
+    z0 = jax.device_put(jnp.zeros((64, 32), jnp.float32), x_sh)
+    W_p, loss_p, z = step_p(xd, wd, z0)
+    W_0, loss_0 = step(xd, wd)
+    np.testing.assert_allclose(float(loss_p), float(loss_0), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(W_p), np.asarray(W_0),
+                               atol=1e-7)
+
+    losses = [float(loss_p)]
+    W_c = W_p
+    for _ in range(3):
+        W_c, l, z = step_p(xd, W_c, z)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
