@@ -8,25 +8,30 @@ sklearn Cholesky-update recursion:
 
 * a STATIC iteration count (``n_nonzero_coefs``) — every shape is fixed,
   the whole solve jits into one ``lax.while_loop``;
-* residual correlations are two dense MXU matmuls per iteration
-  (``r = x - z W^T``, ``c = r W``);
-* per-sample atom selection is a masked argmax; the support lives as a
-  [N, T] index matrix plus validity mask (no dynamic shapes);
-* the support Gram ``G_SS`` is CARRIED and updated incrementally: each
-  iteration adds one atom per sample, so only row/column ``k`` changes —
-  its values come from two one-hot MXU matmuls
-  (``w_sel = onehot(k*) W^T``, ``g = w_sel W``, then a [N, T]
-  take-along) instead of the naive per-iteration ``G[idx, idx]``
-  [N, T, T] gather, which XLA lowers catastrophically on TPU (measured
-  ~1 s per iteration at 16384x2048, T=64 — the gather alone was 30x the
-  matmul work);
-* the support normal equations are solved per sample either by the
-  batched lane-parallel Cholesky (exact, great for small N*T^2) or by
-  WARM-STARTED per-row CG in T-space (``solver='cg'``): the previous
-  iteration's solution is one rank-1 update away, so a handful of
-  [N, T, T] batched matvecs (bandwidth-trivial next to the MXU work)
-  re-tightens it. ``solver='auto'`` switches to CG when the Cholesky's
-  [N, T, T] factorization stops being negligible.
+* per-sample atom selection is a masked argmax on ``c = r W``; the
+  support lives as a [N, T] index matrix plus validity mask (no dynamic
+  shapes);
+* the loop is GATHER-FREE: the selected atoms are carried densely as
+  ``W_S`` [N, T, D] (one dynamic_update_slice per iteration), so the
+  residual is ``r = x - einsum(z_s, W_S)``, the new Gram row is
+  ``einsum(W_S, w_sel)`` and the new rhs entry is a masked row-sum of
+  ``x W`` — all dense contractions. Every indexed alternative lowers
+  catastrophically on TPU: the naive per-iteration ``G[idx, idx]``
+  [N, T, T] gather measured ~1 s/iter at 16384x2048 T=64, and even
+  [N, K] -> [N, T] ``take_along_axis`` + the [N, K] code scatter
+  measured ~35 of 59 ms/iter. ``w_sel = onehot(k*) W^T`` stays a
+  one-hot MXU matmul (exact row gather on the MXU);
+* the support normal equations are solved per sample by an INCREMENTAL
+  lane-parallel Cholesky: the factor L is carried across iterations and
+  each step APPENDS one row (one O(T^2) substitution) instead of
+  re-factorizing the [N, T, T] system (O(T^3/3)) — a fused Pallas
+  append+solve kernel (:func:`lasso_tpu.ops.batched_cholesky.
+  cholesky_append_solve_lanes`). Profiled at 16384x(512->2048), T=64:
+  the per-iteration re-factorization was ~45 of the 59 ms/iter (76%);
+  the append kernel removes almost all of it. Alternatives:
+  ``solver='chol-full'`` re-factorizes each iteration (the off-TPU
+  fallback, with batch-global LU rescue on non-PD supports), and
+  ``solver='cg'`` runs WARM-STARTED per-row CG in T-space.
 
 Per-sample ``tol`` stopping (on the squared residual norm, sklearn
 semantics) freezes finished samples exactly: their support stops
@@ -43,6 +48,9 @@ from jax import lax
 from lasso_tpu.config import get_precision
 from lasso_tpu.linalg.basic import batch_cholesky_solve
 from lasso_tpu.linalg.conjgrad import conjgrad_per_row
+from lasso_tpu.ops.batched_cholesky import (cholesky_append_solve_lanes,
+                                            supports_lanes_append)
+from lasso_tpu.ops.common import resolve_pallas
 
 
 def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
@@ -61,13 +69,18 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     semantics); a stopped sample's support is frozen exactly.
     ``gram_jitter``: optional diagonal jitter for the support Gram solve
     (0 by default; raise for nearly-collinear dictionaries).
-    ``solver``: 'chol' re-solves the carried [N, T, T] support system
-    with the batched (lane-parallel Pallas when ``use_pallas``) Cholesky
-    each iteration; 'cg' uses warm-started per-row conjugate gradient
+    ``solver``: 'chol' (default) carries the Cholesky factor and APPENDS
+    one row per iteration (fused Pallas append+solve kernel, O(T^2) per
+    step; NaN on a degenerate support like ``jnp.linalg.cholesky`` —
+    raise ``gram_jitter`` for nearly-collinear dictionaries);
+    'chol-full' re-factorizes the carried [N, T, T] support system with
+    the batched (lane-parallel Pallas when ``use_pallas``) Cholesky each
+    iteration (O(T^3/3) per step, but with batch-global LU rescue on
+    non-PD supports); 'cg' uses warm-started per-row conjugate gradient
     (tolerance ``cg_tol`` on the T-space residual norm, max T+8 iters —
-    typically a handful thanks to the warm start); 'auto' picks 'cg'
-    once ``N * T^2`` crosses the point where the Cholesky stops being
-    negligible.
+    typically a handful thanks to the warm start). 'auto' = 'chol' when
+    the append kernel is available (TPU, or ``use_pallas=True`` for the
+    interpreted kernel off-TPU), else 'chol-full'/'cg' by problem size.
 
     Atom selection normalizes correlations by column norms (exact greedy
     residual-decrease criterion; a no-op for unit-norm dictionaries).
@@ -86,14 +99,25 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         raise ValueError(
             f"n_nonzero_coefs must be in [1, min(D, K)] = "
             f"[1, {min(D, K)}], got {T}")
-    if solver == "auto":
-        # measured crossover: the lane-parallel Cholesky stays ahead of
+    Tp = -(-T // 8) * 8          # append kernel wants panel-aligned T
+    inc, inc_interpret = resolve_pallas(
+        use_pallas, supports_lanes_append(Tp, N, x.dtype))
+    if solver in ("auto", "chol") and not inc:
+        # no append kernel here: fall back by the measured crossover —
+        # the refactorizing lane-parallel Cholesky stays ahead of
         # warm-started CG through [16384, 64, 64] (3.8 vs 4.3 s/solve);
         # CG takes over when the [N, T, T] factorization truly bites
-        solver = "cg" if N * T * T > (1 << 27) else "chol"
-    if solver not in ("chol", "cg"):
-        raise ValueError(f"solver must be 'chol', 'cg' or 'auto', got "
-                         f"{solver!r}")
+        solver = "cg" if N * T * T > (1 << 27) else "chol-full"
+    elif solver == "auto":
+        solver = "chol"
+    if solver not in ("chol", "chol-full", "cg"):
+        raise ValueError(f"solver must be 'chol', 'chol-full', 'cg' or "
+                         f"'auto', got {solver!r}")
+    inc = solver == "chol"
+    # lane padding for the append kernel (Mosaic: lane block must be a
+    # multiple of 128 or the whole axis); padded lanes carry identity
+    # appends and zero rhs, solving to exactly zero
+    Np = (N + 127) // 128 * 128 if (inc and N > 128 and N % 128) else N
 
     G = jnp.matmul(weight.T, weight, precision=prec)        # [K, K]
     b = jnp.matmul(x, weight, precision=prec)               # [N, K]
@@ -107,14 +131,18 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         # unused slots carry z_s = 0, so duplicate index-0 adds nothing
         return jnp.zeros((N, K), x.dtype).at[rows[:, None], idx].add(z_s)
 
-    def cond(state):
-        _, _, _, _, _, active, k = state
-        return jnp.logical_and(jnp.any(active), k < T)
+    # gather-free fast path: carry the selected-atom matrix W_S [N, T, D]
+    # so the residual (einsum against z_s), the new Gram row (einsum
+    # against w_sel) and the new rhs entry (masked row-sum of b) are all
+    # dense contractions. The loop's take_along_axis gathers + the [N, K]
+    # scatter measured ~35 of the 59 ms/iter at the 16384x(512->2048)
+    # T=64 headline (XLA gather/scatter lower catastrophically on TPU);
+    # the contraction replacements are plain HBM bandwidth (~2 GB/iter).
+    # Gated on the W_S footprint; beyond it the legacy gather body runs.
+    ws_fast = inc and N * T * D * x.dtype.itemsize <= (6 << 30)
 
-    def body(state):
-        idx, valid, z_s, G_ss, sel, active, k = state
-        z_dense = scatter_codes(idx, z_s)
-        r = x - jnp.matmul(z_dense, weight.T, precision=prec)  # [N, D]
+    def select(idx, valid, sel, active, k, r):
+        """Shared per-iteration atom selection from the residual."""
         if tol_v is not None or verbose:
             rss = jnp.sum(jnp.square(r), axis=1)               # [N]
         if verbose:
@@ -125,47 +153,109 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
         c = jnp.matmul(r, weight, precision=prec)              # [N, K]
         score = jnp.where(sel, -1.0, jnp.abs(c) / col_norm)
         k_star = jnp.argmax(score, axis=1)                     # [N]
-
         onehot_b = jax.nn.one_hot(k_star, K, dtype=bool)
         sel = jnp.logical_or(sel, jnp.logical_and(onehot_b,
                                                   active[:, None]))
         idx = idx.at[:, k].set(jnp.where(active, k_star, 0))
         valid = valid.at[:, k].set(active)
-
-        # incremental Gram row: W[:, k*] per sample via one-hot MXU
-        # matmuls (a dynamic row gather from G lowers catastrophically)
+        # W[:, k*] per sample via a one-hot MXU matmul (a dynamic row
+        # gather lowers catastrophically)
         onehot_f = jax.nn.one_hot(k_star, K, dtype=x.dtype)
         w_sel = jnp.matmul(onehot_f, weight.T, precision=prec)  # [N, D]
+        return idx, valid, sel, active, onehot_f, w_sel
+
+    def append_solve(V, g_k, b_s, active, k):
+        """Kernel-layout shim around the Pallas append+solve: frozen
+        samples (and padded lanes) append an identity row, which leaves
+        their solution exactly unchanged."""
+        ek = (jnp.arange(Tp) == k).astype(x.dtype)              # [Tp]
+        if T != Tp:
+            g_k = jnp.pad(g_k, ((0, 0), (0, Tp - T)))
+        if gram_jitter:
+            g_k = g_k + gram_jitter * ek
+        g_app = jnp.where(active[:, None], g_k, ek)             # [N, Tp]
+        gt, bt = g_app.T, b_s.T
+        if T != Tp:
+            bt = jnp.pad(bt, ((0, Tp - T), (0, 0)))
+        if Np != N:
+            gt = jnp.concatenate(
+                [gt, jnp.broadcast_to(ek[:, None], (Tp, Np - N))], 1)
+            bt = jnp.pad(bt, ((0, 0), (0, Np - N)))
+        V, z_t = cholesky_append_solve_lanes(
+            V, gt, bt, k, interpret=inc_interpret)
+        return V, z_t[:T, :N].T
+
+    def cond(state):
+        return jnp.logical_and(jnp.any(state[5]), state[6] < T)
+
+    def body_fast(state):
+        idx, valid, z_s, V, sel, active, k, W_S, b_s = state
+        r = x - jnp.einsum("nt,ntd->nd", z_s, W_S, precision=prec)
+        idx, valid, sel, active, onehot_f, w_sel = select(
+            idx, valid, sel, active, k, r)
+        W_S = lax.dynamic_update_slice(
+            W_S, jnp.where(active[:, None], w_sel, 0.0)[:, None, :],
+            (0, k, 0))
+        # new Gram row (slot k lands |w_sel|^2 since W_S was updated
+        # first); inactive/unused slots hold zero atoms -> exact zeros
+        g_row = jnp.einsum("ntd,nd->nt", W_S, w_sel, precision=prec)
+        b_sk = jnp.sum(onehot_f * b, axis=1)                    # [N]
+        b_s = lax.dynamic_update_slice(
+            b_s, jnp.where(active, b_sk, 0.0)[:, None], (0, k))
+        V, z_new = append_solve(V, g_row, b_s, active, k)
+        z_new = jnp.where(valid, z_new, 0.0)
+        return (idx, valid, z_new, V, sel, active, k + 1, W_S, b_s)
+
+    def body(state):
+        idx, valid, z_s, sys, sel, active, k = state
+        z_dense = scatter_codes(idx, z_s)
+        r = x - jnp.matmul(z_dense, weight.T, precision=prec)  # [N, D]
+        idx, valid, sel, active, _, w_sel = select(
+            idx, valid, sel, active, k, r)
         g_full = jnp.matmul(w_sel, weight, precision=prec)      # [N, K]
         g_row = jnp.take_along_axis(g_full, idx, axis=1)        # [N, T]
-        row_k = jnp.where(active[:, None],
-                          jnp.where(valid, g_row, 0.0),
-                          eyeT[k])
-        G_ss = G_ss.at[:, k, :].set(row_k)
-        G_ss = G_ss.at[:, :, k].set(row_k)
-
-        G_sys = G_ss + gram_jitter * eyeT if gram_jitter else G_ss
         b_s = jnp.where(valid, jnp.take_along_axis(b, idx, axis=1), 0.0)
-        if solver == "chol":
-            z_new = batch_cholesky_solve(b_s, G_sys,
-                                         use_pallas=use_pallas)
+        if inc:
+            g_k = jnp.where(valid, g_row, 0.0)                  # [N, T]
+            sys, z_new = append_solve(sys, g_k, b_s, active, k)
         else:
-            Adot = lambda u: jnp.matmul(
-                G_sys, u[:, :, None], precision=prec)[:, :, 0]
-            dot = lambda a, c2: jnp.sum(a * c2, axis=1, keepdims=True)
-            z_new = conjgrad_per_row(b_s, Adot, dot, maxiter=T + 8,
-                                     tol=cg_tol, x0=z_s)
+            row_k = jnp.where(active[:, None],
+                              jnp.where(valid, g_row, 0.0),
+                              eyeT[k])
+            sys = sys.at[:, k, :].set(row_k)
+            sys = sys.at[:, :, k].set(row_k)
+            G_sys = sys + gram_jitter * eyeT if gram_jitter else sys
+            if solver == "chol-full":
+                z_new = batch_cholesky_solve(b_s, G_sys,
+                                             use_pallas=use_pallas)
+            else:
+                Adot = lambda u: jnp.matmul(
+                    G_sys, u[:, :, None], precision=prec)[:, :, 0]
+                dot = lambda a, c2: jnp.sum(a * c2, axis=1, keepdims=True)
+                z_new = conjgrad_per_row(b_s, Adot, dot, maxiter=T + 8,
+                                         tol=cg_tol, x0=z_s)
         z_new = jnp.where(valid, z_new, 0.0)
-        return (idx, valid, z_new, G_ss, sel, active, k + 1)
+        return (idx, valid, z_new, sys, sel, active, k + 1)
 
+    if inc:
+        sys0 = jnp.broadcast_to(
+            jnp.eye(Tp, dtype=x.dtype)[:, :, None], (Tp, Tp, Np))
+    else:
+        sys0 = jnp.broadcast_to(eyeT, (N, T, T))
     init = (jnp.zeros((N, T), jnp.int32),
             jnp.zeros((N, T), bool),
             jnp.zeros((N, T), x.dtype),
-            jnp.broadcast_to(eyeT, (N, T, T)),
+            sys0,
             jnp.zeros((N, K), bool),
             jnp.ones((N,), bool),
             jnp.asarray(0))
-    idx, valid, z_s, _, _, _, k = lax.while_loop(cond, body, init)
+    if ws_fast:
+        init = init + (jnp.zeros((N, T, D), x.dtype),
+                       jnp.zeros((N, T), x.dtype))
+        out = lax.while_loop(cond, body_fast, init)
+    else:
+        out = lax.while_loop(cond, body, init)
+    idx, _, z_s, _, _, _, k = out[:7]
     z = scatter_codes(idx, z_s)
     if return_iters:
         return z, k

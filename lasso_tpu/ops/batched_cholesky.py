@@ -178,6 +178,139 @@ def _make_kernel_blocked(D, p):
     return kernel
 
 
+def _make_append_kernel(T):
+    """Incremental (append-one-row) lane-parallel Cholesky + solve.
+
+    For greedy solvers that GROW a PD system one row/column per step
+    (OMP's support normal equations), re-factorizing the [B, T, T] system
+    every iteration is O(T^3/3) per step; appending a row to a carried
+    factor is O(T^2). Crucially for the VPU, the carried state is the
+    INVERSE factor ``V = L^{-1}`` (lower triangular, identity beyond the
+    appended block), so neither the append nor the solve contains a
+    sequential substitution chain — a first cut that carried L and ran
+    row-oriented substitutions was latency-bound at ~40 ms/iter for
+    [16384, 64, 64] (3 x T dependent row-steps x 128 serialized grid
+    blocks); with V everything is four independent dense [T, T, bl]
+    multiply-reduce contractions (~1 ms):
+
+      given V, the new symmetric row g = G[k, :] and rhs b:
+        y    = V g[:k]                      (L y = g forward solve)
+        u    = y^T V
+        lkk  = sqrt(g[k] - y.y)
+        V[k] <- [-u / lkk, 1/lkk, 0...]     (block inverse of [[L,0],[y',lkk]])
+        z    = V^T (V b)                    ((L L^T)^{-1} b)
+
+    Layout is ROW-major-on-sublanes: ``v_ref[i]`` = row i as a [T, bl]
+    tile (cols on sublanes, batch on lanes); the append is one
+    dynamic-sublane store. Rows beyond the block stay identity, so
+    zero-padded rhs slots solve to exactly zero (frozen/unused samples
+    are exact no-ops without masking).
+
+    Like ``jnp.linalg.cholesky``, a non-PD append (g[k] <= y.y, i.e. the
+    new row is linearly dependent on the block) yields NaN for that
+    sample; OMP's masked argmax never re-selects an atom, so this only
+    occurs for genuinely degenerate dictionaries (use ``gram_jitter``).
+    Solving through the explicit inverse is not backward stable like a
+    substitution, but the error stays O(cond(L) * eps) — equal to the
+    refactorizing path's in practice for OMP's well-conditioned greedy
+    supports (equivalence asserted in tests/test_omp.py).
+    """
+
+    def kernel(k_ref, v_ref, g_ref, b_ref, vout_ref, z_ref):
+        k = k_ref[0, 0]
+        # all intermediates stay 3D with keepdims reductions — mixing an
+        # axis-reduced 2D value back into elementwise ops trips a Mosaic
+        # relayout error ("non-singleton dimension replicated in
+        # destination but not in source")
+        cols3 = lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+        vout_ref[:] = v_ref[:]
+        V = vout_ref[:]                                     # [T, T, bl]
+        bl = V.shape[2]
+        g3 = g_ref[:].reshape(1, T, bl)
+
+        # --- append row k of V ---
+        gm3 = jnp.where(cols3 < k, g3, 0.0)
+        y3 = jnp.sum(V * gm3, axis=1, keepdims=True)        # V g  [T,1,bl]
+        u3 = jnp.sum(V * y3, axis=0, keepdims=True)         # y'V  [1,T,bl]
+        gkk = jnp.sum(jnp.where(cols3 == k, g3, 0.0), axis=1,
+                      keepdims=True)                        # [1, 1, bl]
+        yy = jnp.sum(y3 * y3, axis=0, keepdims=True)        # [1, 1, bl]
+        inv_lkk = lax.rsqrt(gkk - yy)
+        new_row = (jnp.where(cols3 < k, -u3, 0.0)
+                   + jnp.where(cols3 == k, 1.0, 0.0)) * inv_lkk
+        vout_ref[pl.ds(k, 1), :, :] = new_row
+
+        # --- solve (L L^T) z = b with the updated inverse ---
+        V = vout_ref[:]
+        b3 = b_ref[:].reshape(1, T, bl)
+        t3 = jnp.sum(V * b3, axis=1, keepdims=True)         # V b
+        z3 = jnp.sum(V * t3, axis=0, keepdims=True)         # V' (V b)
+        z_ref[:] = z3.reshape(T, bl)
+
+    return kernel
+
+
+def supports_lanes_append(T, B, dtype):
+    """Size gate for the append kernel: f32, panel-aligned T, and a
+    [T, T, lanes] tile (x2 for the aliased in/out) within VMEM."""
+    return (dtype == jnp.float32 and T % 8 == 0 and B >= 1
+            and T * T * 128 * 4 * 2 <= 96 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
+def cholesky_append_solve_lanes(L, g_row, b, k, interpret=False,
+                                block_b=None):
+    """Append row ``k`` to each carried inverse factor and solve.
+
+    L: [T, T, B] — the carried INVERSE Cholesky factor ``V = L^{-1}``
+    (row-major-on-sublanes: ``V[i]`` = row i as [T, B]; initialize to
+    identity), g_row: [T, B] (new symmetric row of the Gram, entries
+    >= k ignored except ``g_row[k]`` = the new diagonal), b: [T, B],
+    k: scalar int32. Returns ``(V_new, z)`` with z: [T, B]. Caller pads
+    B to a multiple of the lane block (or B <= block) and T to a
+    multiple of 8.
+    """
+    T, _, B = L.shape
+    bl = min(128 if block_b is None else block_b, B)
+    assert B % bl == 0, (B, bl)
+    grid = (B // bl,)
+    kernel = _make_append_kernel(T)
+    k_arr = jnp.asarray(k, jnp.int32).reshape(1, 1)
+
+    L_new, z = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, T, bl), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, T, bl), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, T, B), jnp.float32),
+                   jax.ShapeDtypeStruct((T, B), jnp.float32)],
+        input_output_aliases={1: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=9 * B * T * T,
+            bytes_accessed=(3 * B * T * T + 4 * B * T) * 4,
+            transcendentals=B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(k_arr, L, g_row, b)
+    return L_new, z
+
+
 def supports_lanes_cholesky(b, A):
     """Size gate: D small enough for a [D, D, 128]-lane-tile to sit in
     VMEM, f32. Any batch size works (padded to a lane multiple)."""

@@ -156,3 +156,52 @@ def test_ksvd_style_dict_learning_converges(rng):
     losses = np.asarray(losses)
     assert np.all(np.diff(losses) <= 1e-5), losses
     assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_append_kernel_matches_dense_solves(rng):
+    """The inverse-carry append kernel (interpret mode) reproduces dense
+    solves of every leading block as rows are appended one at a time."""
+    from lasso_tpu.ops.batched_cholesky import cholesky_append_solve_lanes
+
+    T, B = 16, 8
+    A = rng.standard_normal((B, T, T)).astype(np.float32)
+    M = A @ np.swapaxes(A, 1, 2) + T * np.eye(T, dtype=np.float32)[None]
+    V = jnp.broadcast_to(jnp.eye(T, dtype=jnp.float32)[:, :, None],
+                         (T, T, B))
+    rhs = rng.standard_normal((B, T)).astype(np.float32)
+    for k in range(T):
+        g = np.zeros((T, B), np.float32)
+        g[:k + 1] = M[:, k, :k + 1].T
+        b = np.zeros((T, B), np.float32)
+        b[:k + 1] = rhs[:, :k + 1].T
+        V, z = cholesky_append_solve_lanes(V, jnp.asarray(g),
+                                           jnp.asarray(b), k,
+                                           interpret=True)
+        z = np.asarray(z)
+        for s in range(B):
+            ref = np.linalg.solve(M[s, :k + 1, :k + 1], rhs[s, :k + 1])
+            np.testing.assert_allclose(z[:k + 1, s], ref, rtol=2e-4,
+                                       atol=1e-5)
+        if k + 1 < T:  # untouched slots stay exactly zero
+            assert np.abs(z[k + 1:]).max() == 0.0
+
+
+@pytest.mark.parametrize("shape,tol", [
+    ((48, 32, 64, 12), None),   # T not a multiple of 8 (panel padding)
+    ((130, 24, 40, 10), None),  # N > 128, not a lane multiple (padding)
+    ((48, 32, 64, 12), 8.0),    # per-sample freezing mid-run
+])
+def test_incremental_matches_refactorizing(rng, shape, tol):
+    """solver='chol' (incremental append kernel, interpreted off-TPU)
+    gives the same supports and coefficients as the refactorizing
+    'chol-full' path, including under tol-freezing and padding."""
+    N, D, K, T = shape
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    W = rng.standard_normal((D, K)).astype(np.float32)
+    W = jnp.asarray(W / np.linalg.norm(W, axis=0, keepdims=True))
+    z_full = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol-full")
+    z_inc = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol",
+                use_pallas=True)
+    assert (np.asarray(z_full != 0) == np.asarray(z_inc != 0)).all()
+    np.testing.assert_allclose(np.asarray(z_inc), np.asarray(z_full),
+                               rtol=1e-4, atol=1e-5)
