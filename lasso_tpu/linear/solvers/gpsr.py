@@ -44,6 +44,11 @@ def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
     resid0 = y - A(x0)
     f0 = 0.5 * _dot(resid0, resid0) + tau * (jnp.sum(u0) + jnp.sum(v0))
     nz0 = x0 != 0
+    verbose = int(verbose)
+    if verbose:
+        # initial-objective report (reference gpsr.py:23-24)
+        jax.debug.print("Initial obj = {f:.6e}, nz = {n}",
+                        f=f0, n=jnp.sum(nz0))
 
     def cond(state):
         (x, u, v, f, prev_f, nz_x, resid_base, n_iter, done) = state
@@ -87,6 +92,13 @@ def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
             lambd, _, _, k = s
             out, ok = trial(lambd)
             lambd_next = jnp.where(ok, lambd, lambd * lambda_backtrack)
+            if verbose > 1:
+                # inner line-search report (reference gpsr.py:62-63):
+                # printed only when the step is rejected and lambda shrinks
+                lax.cond(ok, lambda l: None,
+                         lambda l: jax.debug.print(
+                             "    line-search reducing lambda to {l:.2e}",
+                             l=l), lambd_next)
             return (lambd_next, out, ok, k + 1)
 
         # cheap init carry (never used: the loop body always runs once)
@@ -138,6 +150,15 @@ def _gpsr_core(x0, u0, v0, y, tau, A, AT, Ay, mu, lambda_backtrack,
             criterion = f_new
         else:
             raise ValueError("Unknown stopping criterion")
+
+        if verbose:
+            # criterion-name/value/target line (reference gpsr.py:119-121);
+            # the name is static because the criterion is selected statically
+            criterion_name = {0: "d_nz", 1: "d_f", 2: "||d_x|| / ||x||",
+                              3: "LCP", 4: "f"}[stop_criterion]
+            jax.debug.print(
+                "    " + criterion_name + " = {c:e} (target = {t:e})",
+                c=criterion, t=tol)
 
         done = jnp.logical_and(n_iter_new > miniter, criterion <= tol)
         done = jnp.logical_or(done, n_iter_new >= maxiter)

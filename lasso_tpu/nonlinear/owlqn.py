@@ -123,7 +123,8 @@ def lbfgs_update(state, x, g):
 
 
 def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
-                      history_size, ls_maxiter, return_iters):
+                      history_size, ls_maxiter, return_iters,
+                      line_search="brent", ls_options=None):
     """Per-row OWL-QN: batched circular-buffer L-BFGS where every
     cross-sample reduction of the batch core becomes a per-row one.
 
@@ -131,8 +132,16 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
     updates and frozen (converged) rows write INERT slots (s = y = 0,
     rho = 0 — exact no-ops in the two-loop recursion), so the buffer
     head/count stay row-uniform and the recursion needs no per-row
-    indexing.
+    indexing. All three line searches are supported: 'brent'
+    (vmapped golden section), 'backtrack' (per-row Armijo test with a
+    per-row step vector; accepted rows freeze their t while the rest
+    keep shrinking), and 'none' (reference owlqn.py:139-146 init step).
     """
+    if ls_options is None:
+        ls_options = {}
+    ls_tol = ls_options.get("tol", 0.1)
+    ls_decay = ls_options.get("decay", 0.95)
+    ls_bt_maxiter = ls_options.get("maxiter", 500)
     B, K = x0.shape
     m = history_size
     grad_fun = jax.grad(lambda z: jnp.sum(fun_vec(z)))
@@ -170,7 +179,7 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
 
     def body(state):
         (x, f, g, gp, s_hist, y_hist, rho, h_diag, head, count,
-         x_prev, g_prev, k, done_prev) = state
+         x_prev, g_prev, t_init, k, done_prev) = state
         v = -gp
         d = solve(s_hist, y_hist, rho, h_diag, head, count, v)
         d = project(d, v)
@@ -180,9 +189,32 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
             x_new = project(x + t[:, None] * d, eta)
             return fun_vec(x_new) + alpha * jnp.sum(jnp.abs(x_new), axis=1)
 
-        t, _ = golden_section(f_at, jnp.zeros((B,), x.dtype),
-                              jnp.full((B,), 10.0, x.dtype),
-                              maxiter=ls_maxiter)
+        if line_search == "brent":
+            t, _ = golden_section(f_at, jnp.zeros((B,), x.dtype),
+                                  jnp.full((B,), 10.0, x.dtype),
+                                  maxiter=ls_maxiter)
+        elif line_search == "backtrack":
+            # per-row Armijo backtracking (batch core above, rowized):
+            # each row shrinks its own t until its own sufficient-decrease
+            # test passes; accepted rows freeze their t
+            def bt_cond(s):
+                _, j, ok = s
+                return jnp.logical_and(jnp.logical_not(jnp.all(ok)),
+                                       j < ls_bt_maxiter)
+
+            def bt_body(s):
+                t, j, ok_prev = s
+                x_new = project(x + t[:, None] * d, eta)
+                ok = f_at(t) <= f - ls_tol * jnp.sum(
+                    v * (x_new - x), axis=1)
+                ok = jnp.logical_or(ok_prev, ok)
+                return (jnp.where(ok, t, t * ls_decay), j + 1, ok)
+
+            t, _, _ = lax.while_loop(
+                bt_cond, bt_body,
+                (t_init, 0, jnp.zeros((B,), bool)))
+        else:   # 'none': fixed per-row init step (reference owlqn.py:139-146)
+            t = t_init
 
         keep = done_prev[:, None]
         x_new = jnp.where(keep, x, project(x + t[:, None] * d, eta))
@@ -206,18 +238,21 @@ def _owlqn_per_sample(fun_vec, x0, alpha, lr, max_iter, xtol,
         g_prev = jnp.where(ok[:, None], g_new, g_prev)
         return (x_new, f_new, g_new, gp_new, s_hist, y_hist, rho, h_diag,
                 (head + 1) % m, jnp.minimum(count + 1, m),
-                x_prev, g_prev, k + 1, done)
+                x_prev, g_prev, jnp.full((B,), lr, x0.dtype), k + 1, done)
 
     def cond(state):
         k, done = state[-2], state[-1]
         return jnp.logical_and(jnp.logical_not(jnp.all(done)),
                                k < max_iter)
 
+    # per-row first-step init (batch core's t0, rowized)
+    t0_vec = jnp.clip(lr / (jnp.sum(jnp.abs(gp0), axis=1) + 1e-30),
+                      None, lr).astype(x0.dtype)
     init = (x0, f0, g0, gp0,
             jnp.zeros((m, B, K), x0.dtype), jnp.zeros((m, B, K), x0.dtype),
             jnp.zeros((m, B), x0.dtype), jnp.ones((B,), x0.dtype),
             jnp.asarray(0), jnp.asarray(0),
-            x0, g0, jnp.asarray(0), jnp.zeros((B,), bool))
+            x0, g0, t0_vec, jnp.asarray(0), jnp.zeros((B,), bool))
     out = lax.while_loop(cond, body, init)
     x, k, done = out[0], out[-2], out[-1]
     if return_iters:
@@ -239,11 +274,12 @@ def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
     ``per_sample=True`` upgrades the reference's whole-batch coupling —
     one flattened L-BFGS memory, one line-search step, and one ``||dx||``
     stop shared across the batch — to fully independent per-sample solves:
-    each row gets its own [history, K] memory, golden-section step, and
+    each row gets its own [history, K] memory, line-search step, and
     stopping test; converged rows freeze. The contract changes with it:
     ``fun`` must then map [B, K] -> [B] PER-ROW losses (so each row's
     line search can see its own objective; a scalar batch-sum cannot be
-    decomposed from outside). Brent-mode line search only.
+    decomposed from outside). All three line searches are supported
+    ('brent' golden section, 'backtrack' per-row Armijo, 'none').
     Default False for reference parity.
 
     ``verbose`` mirrors the reference (owlqn.py:128-129, 183-185,
@@ -252,15 +288,15 @@ def owlqn(fun, x0, alpha=1.0, lr=1.0, max_iter=20, xtol=1e-5,
     """
     verbose = int(verbose)
     assert x0.ndim == 2
-    if per_sample:
-        if line_search != "brent":
-            raise ValueError("per_sample=True supports line_search='brent'")
-        return _owlqn_per_sample(fun, x0, alpha, lr, max_iter, xtol,
-                                 history_size, ls_maxiter, return_iters)
-    if ls_options is None:
-        ls_options = {}
     if line_search not in ("brent", "backtrack", "none"):
         raise ValueError("invalid line_search")
+    if per_sample:
+        return _owlqn_per_sample(fun, x0, alpha, lr, max_iter, xtol,
+                                 history_size, ls_maxiter, return_iters,
+                                 line_search=line_search,
+                                 ls_options=ls_options)
+    if ls_options is None:
+        ls_options = {}
     ls_tol = ls_options.get("tol", 0.1)
     ls_decay = ls_options.get("decay", 0.95)
     ls_bt_maxiter = ls_options.get("maxiter", 500)

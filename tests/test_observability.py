@@ -66,8 +66,36 @@ def test_gpsr_verbose_and_iters(problem, capfd):
     assert int(k) >= 1
     out = capfd.readouterr().out
     assert "obj =" in out and "nz =" in out
+    # initial-objective line (reference gpsr.py:23-24)
+    assert "Initial obj =" in out
+    # criterion-name/value/target line (reference gpsr.py:119-121);
+    # default stop_criterion=3 is the LCP criterion
+    assert "LCP =" in out and "(target =" in out
     # final summary after the ladder (reference gpsr.py:325-333)
     assert "Final obj =" in out
+
+
+def test_gpsr_verbose2_line_search(problem, capfd):
+    """verbose > 1 adds the inner line-search lambda-reduction report
+    (reference gpsr.py:62-63) whenever a trial step is rejected. A huge
+    mu makes the sufficient-decrease test fail on the first guesses, so
+    the report is guaranteed to fire."""
+    x, W, _ = problem
+    z = _flush(gpsr_basic(x, lambda v: v @ W.T, 0.2, AT=lambda v: v @ W,
+                          maxiter=3, mu=0.999, verbose=2))
+    out = capfd.readouterr().out
+    assert "line-search reducing lambda to" in out
+
+
+@pytest.mark.parametrize("criterion,name", [
+    (0, "d_nz"), (1, "d_f"), (2, "||d_x|| / ||x||"), (4, "f")])
+def test_gpsr_verbose_criterion_names(problem, capfd, criterion, name):
+    x, W, _ = problem
+    tol = {0: 0.0, 1: 1e-12, 2: 1e-12, 4: 0.0}[criterion]
+    z = _flush(gpsr_basic(x, lambda v: v @ W.T, 0.2, AT=lambda v: v @ W,
+                          maxiter=3, stop_criterion=criterion, tol=tol,
+                          verbose=True))
+    assert f"{name} =" in capfd.readouterr().out
 
 
 def test_gpsr_verbose_debias_summary(problem, capfd):

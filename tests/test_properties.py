@@ -84,6 +84,41 @@ def test_owlqn_per_sample_batch_equals_independent(rng):
         assert obj_total(z_batch) <= obj_total(z_b) * (1 + 1e-6)
 
 
+@pytest.mark.parametrize("line_search", ["backtrack", "none"])
+def test_owlqn_per_sample_line_searches(rng, line_search):
+    """per_sample=True with the non-brent line searches (VERDICT r3 item
+    7): the per-row Armijo backtracking (and the fixed init step) must
+    equal N independent single-row solves. x64 for the same branch-noise
+    reason as the brent test above."""
+    import jax
+    from lasso_tpu.nonlinear import owlqn
+    with jax.enable_x64():
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((5, 10)))
+        z0 = jnp.asarray(
+            np.random.default_rng(1).standard_normal((5, 8)) * 0.1)
+        Wd = jnp.asarray(
+            np.random.default_rng(2).standard_normal((8, 10)) * 0.4)
+        fun = lambda z: 0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x),
+                                      axis=1)
+        z_batch = owlqn(fun, z0, alpha=0.1, max_iter=30, xtol=1e-8,
+                        per_sample=True, line_search=line_search)
+        for i in range(5):
+            x_i = x[i:i + 1]
+            fun_i = lambda z: 0.5 * jnp.sum(
+                jnp.square(jnp.tanh(z) @ Wd - x_i), axis=1)
+            z_i = owlqn(fun_i, z0[i:i + 1], alpha=0.1, max_iter=30,
+                        xtol=1e-8, per_sample=True,
+                        line_search=line_search)
+            np.testing.assert_allclose(np.asarray(z_batch[i]),
+                                       np.asarray(z_i[0]), atol=1e-6)
+        # backtracking must actually make progress on the composite
+        if line_search == "backtrack":
+            def obj_total(z):
+                return float(0.5 * jnp.sum(jnp.square(jnp.tanh(z) @ Wd - x))
+                             + 0.1 * jnp.sum(jnp.abs(z)))
+            assert obj_total(z_batch) < obj_total(z0)
+
+
 def test_irb_per_sample_batch_equals_independent(rng):
     import jax
     from lasso_tpu.nonlinear import iterative_ridge_bfgs
