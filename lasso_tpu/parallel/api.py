@@ -45,6 +45,21 @@ _AXIS_NAME_ALGOS = ("ista", "interior-point", "group-ista")
 _PALLAS_ALGOS = ("ista", "cd", "cd-mod", "omp", "group-ista")
 
 
+def _data_pad(mesh, n_rows):
+    """Zero-rows of padding that make n_rows divisible by the 'data'
+    axis size (0 when already divisible)."""
+    return (-n_rows) % mesh.shape["data"]
+
+
+def _pad_rows(arr, n_pad, fill=0.0):
+    """Append ``n_pad`` constant rows to a batched array."""
+    if n_pad == 0:
+        return arr
+    arr = jnp.asarray(arr)
+    pad = jnp.full((n_pad,) + arr.shape[1:], fill, arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
 def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
                          algorithm="ista", **kwargs):
     """Shard the batch over the mesh's 'data' axis and encode.
@@ -52,6 +67,19 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
     Per-sample solves are independent; the only cross-device traffic is the
     global convergence reduction inside the solver loop (for the solvers
     that have one).
+
+    Ragged batches (N not divisible by the data-axis size) are handled by
+    zero-padding to the next multiple and slicing the result back — a zero
+    row solves a zero problem, so its codes are exactly zero and its
+    contribution to the global ``sum|dz|`` stopping statistic is 0 (the
+    same trick as ``utils.chunked``). For the sum-stopping solvers (ista,
+    group-ista) the tolerance is rescaled by ``N / N_padded`` so the
+    global threshold ``numel * tol`` is that of the UNPADDED batch —
+    stopping behavior is bit-identical to the single-device solve. For
+    'interior-point' the batch-MEAN stopping statistics are diluted by
+    the inert padding rows (the padded run can stop a little later,
+    never with worse iterates); pass ``per_sample=True`` there if exact
+    ragged stopping parity matters.
     """
     return_iters = bool(kwargs.get("return_iters"))
     if return_iters and (algorithm in ("cd", "cd-mod", "omp")
@@ -80,6 +108,24 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
         # the local body like the scalar form
         vec_alpha = (a_arr.ndim >= 1 and a_arr.shape[0] == x.shape[0]
                      and (a_arr.ndim == 1 or a_arr.shape[1:] == (1,)))
+        n_rows = x.shape[0]
+        n_pad = _data_pad(mesh, n_rows)
+        if n_pad:
+            x = _pad_rows(x, n_pad)
+            if z0 is not None:
+                z0 = _pad_rows(z0, n_pad)
+            if vec_alpha:
+                # ones-pad: any positive penalty keeps a zero row's codes
+                # exactly zero (and the homogeneity rescale x/alpha stays
+                # well defined)
+                a_arr = _pad_rows(a_arr, n_pad, fill=1.0)
+            if (algorithm in ("ista", "group-ista")
+                    and not kwargs.get("per_sample_tol")):
+                # preserve the UNPADDED global threshold numel * tol: the
+                # padded rows contribute 0 to sum|dz| but would otherwise
+                # inflate numel and loosen the stop
+                kwargs["tol"] = (kwargs.get("tol", 1e-5)
+                                 * n_rows / (n_rows + n_pad))
         extra = ({"axis_name": "data"}
                  if algorithm in _AXIS_NAME_ALGOS else {})
         # with return_iters, sparse_encode returns (z, n_iter): the count
@@ -108,7 +154,12 @@ def data_parallel_encode(mesh, x, weight, alpha=1.0, shard_atoms=False,
         fn = jax.jit(jax.shard_map(
             local, mesh=mesh, in_specs=tuple(in_specs),
             out_specs=out_specs, check_vma=False))
-        return fn(*args)
+        out = fn(*args)
+        if n_pad:
+            if return_iters:
+                return out[0][:n_rows], out[1]
+            return out[:n_rows]
+        return out
     else:
         if algorithm in _PALLAS_ALGOS:
             kwargs.setdefault("use_pallas", False)
@@ -138,6 +189,16 @@ def data_parallel_encode_conv2d(mesh, x, weight, alpha=1.0, z0=None,
     from lasso_tpu.conv2d.ops import conv2d
 
     weight = jnp.asarray(weight)
+    # ragged batches: zero-pad to the next data-axis multiple (a zero
+    # image solves a zero problem) and rescale tol so the global
+    # sum-stopping threshold is the unpadded batch's; slice back below
+    n_rows = x.shape[0]
+    n_pad = _data_pad(mesh, n_rows)
+    if n_pad:
+        x = _pad_rows(x, n_pad)
+        if z0 is not None:
+            z0 = _pad_rows(z0, n_pad)
+        kwargs["tol"] = kwargs.get("tol", 1e-5) * n_rows / (n_rows + n_pad)
     if z0 is None:
         code = jax.eval_shape(
             lambda xx: conv2d(xx, weight, stride=stride, padding=padding),
@@ -153,8 +214,9 @@ def data_parallel_encode_conv2d(mesh, x, weight, alpha=1.0, z0=None,
         local, mesh=mesh, in_specs=(P("data"), P("data"), P()),
         out_specs=P("data"), check_vma=False))
     x_sh = data_sharding(mesh)
-    return fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh),
-              jax.device_put(weight, replicated(mesh)))
+    out = fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh),
+             jax.device_put(weight, replicated(mesh)))
+    return out[:n_rows] if n_pad else out
 
 
 def data_parallel_encode_nl(mesh, x, z0, decoder, alpha=1.0, **kwargs):
@@ -171,13 +233,26 @@ def data_parallel_encode_nl(mesh, x, z0, decoder, alpha=1.0, **kwargs):
     if kwargs.get("return_iters"):
         raise ValueError("return_iters is not supported under "
                          "data_parallel_encode_nl")
+    # ragged batches: zero-pad to the next data-axis multiple and rescale
+    # tol to preserve the unpadded global stop threshold. Rows are
+    # independent, so padded rows never change real rows' iterates; their
+    # own deltas are 0 when decoder(0) == 0 (exact stopping parity) and
+    # otherwise only ADD to the global sum|dz| — the padded run may stop
+    # later than the unpadded one, never earlier with worse iterates.
+    n_rows = x.shape[0]
+    n_pad = _data_pad(mesh, n_rows)
+    if n_pad:
+        x = _pad_rows(x, n_pad)
+        z0 = _pad_rows(z0, n_pad)
+        kwargs["tol"] = kwargs.get("tol", 1e-5) * n_rows / (n_rows + n_pad)
     local = partial(ista_nl, alpha=alpha, axis_name="data", **kwargs)
     fn = jax.jit(jax.shard_map(
         lambda x_, z0_: local(x_, z0_, decoder), mesh=mesh,
         in_specs=(P("data"), P("data")), out_specs=P("data"),
         check_vma=False))
     x_sh = data_sharding(mesh)
-    return fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh))
+    out = fn(jax.device_put(x, x_sh), jax.device_put(z0, x_sh))
+    return out[:n_rows] if n_pad else out
 
 
 def make_train_step(mesh, alpha=1.0, lambd=1e-2, shard_atoms=False,

@@ -412,3 +412,91 @@ def test_task_driven_persist_step(rng, mesh8):
         W_c, l, z = step_p(xd, W_c, z)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# Ragged batches (N % data-axis != 0): pad-and-mask at the mesh API
+# (VERDICT r3 item 5). A zero row solves a zero problem; the tol rescale
+# keeps the sum-stopping solvers' global threshold that of the unpadded
+# batch, so sharded == single-device holds exactly.
+# ---------------------------------------------------------------------------
+
+def test_ragged_data_parallel_encode_ista(rng, mesh8):
+    x, W = make_problem(rng, n=61)
+    z_single = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=500,
+                             tol=1e-6)
+    z_shard, k = data_parallel_encode(mesh8, x, W, alpha=0.2,
+                                      algorithm="ista", maxiter=500,
+                                      tol=1e-6, return_iters=True)
+    assert z_shard.shape == (61, W.shape[1])
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+    # the tol rescale preserves the unpadded stopping point exactly
+    _, k_single = sparse_encode(x, W, 0.2, algorithm="ista", maxiter=500,
+                                tol=1e-6, return_iters=True)
+    assert int(k) == int(k_single)
+
+
+def test_ragged_data_parallel_encode_cd(rng, mesh8):
+    x, W = make_problem(rng, n=45, k=128)
+    z_single = sparse_encode(x, W, 0.2, algorithm="cd", maxiter=300,
+                             tol=1e-8, use_pallas=True)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=0.2, algorithm="cd",
+                                   maxiter=300, tol=1e-8, use_pallas=True)
+    assert z_shard.shape == z_single.shape
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
+def test_ragged_data_parallel_encode_warmstart_and_vec_alpha(rng, mesh8):
+    """z0 warm starts and per-sample alpha thread through the padding
+    (alpha pads with ONES so the homogeneity rescale stays defined)."""
+    x, W = make_problem(rng, n=43)
+    a = jnp.asarray(0.1 + 0.2 * rng.random(43).astype(np.float32))
+    z0 = jnp.asarray(rng.standard_normal((43, W.shape[1])) * 0.01,
+                     jnp.float32)
+    z_single = sparse_encode(x, W, a, algorithm="ista", z0=z0,
+                             maxiter=400, tol=1e-7)
+    z_shard = data_parallel_encode(mesh8, x, W, alpha=a, z0=z0,
+                                   algorithm="ista", maxiter=400,
+                                   tol=1e-7)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
+def test_ragged_data_parallel_encode_conv2d(rng, mesh8):
+    from lasso_tpu.conv2d import ista_conv2d
+    from lasso_tpu.parallel import data_parallel_encode_conv2d
+
+    N, Cz, Cx, H = 13, 4, 3, 8
+    k = jnp.asarray(rng.standard_normal((Cz, Cx, 3, 3)) * 0.2, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((N, Cx, H, H)), jnp.float32)
+    z0 = jnp.zeros((N, Cz, H, H), jnp.float32)
+
+    z_single = ista_conv2d(x, z0, k, alpha=0.05, lr=0.05, padding=1,
+                           maxiter=300, tol=1e-7)
+    z_shard = data_parallel_encode_conv2d(mesh8, x, k, alpha=0.05,
+                                          lr=0.05, padding=1, maxiter=300,
+                                          tol=1e-7)
+    assert z_shard.shape == z_single.shape
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
+def test_ragged_data_parallel_encode_nl(rng, mesh8):
+    from lasso_tpu.nonlinear import ista_nl
+    from lasso_tpu.parallel import data_parallel_encode_nl
+
+    N, K, D = 11, 10, 12
+    Wd = jnp.asarray(rng.standard_normal((K, D)) * 0.4, jnp.float32)
+    decoder = lambda z: jnp.tanh(z) @ Wd   # decoder(0) == 0: exact parity
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((N, K)) * 0.1, jnp.float32)
+
+    z_single = ista_nl(x, z0, decoder, alpha=0.05, lr=0.05, maxiter=300,
+                       tol=1e-7)
+    z_shard = data_parallel_encode_nl(mesh8, x, z0, decoder, alpha=0.05,
+                                      lr=0.05, maxiter=300, tol=1e-7)
+    assert z_shard.shape == z_single.shape
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
