@@ -56,8 +56,8 @@ from lasso_tpu.ops.common import resolve_pallas
 def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
                                 precision=None, gram_jitter=0.0,
                                 solver="auto", cg_tol=1e-10,
-                                use_pallas="auto", verbose=False,
-                                return_iters=False):
+                                use_pallas="auto", ws_fast="auto",
+                                verbose=False, return_iters=False):
     """Batched OMP: ``min_z ||z W^T - x||^2  s.t. ||z||_0 <= T`` (greedy).
 
     x: [N, D], weight W: [D, K] -> codes z: [N, K].
@@ -71,16 +71,27 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     (0 by default; raise for nearly-collinear dictionaries).
     ``solver``: 'chol' (default) carries the Cholesky factor and APPENDS
     one row per iteration (fused Pallas append+solve kernel, O(T^2) per
-    step; NaN on a degenerate support like ``jnp.linalg.cholesky`` —
-    raise ``gram_jitter`` for nearly-collinear dictionaries);
-    'chol-full' re-factorizes the carried [N, T, T] support system with
-    the batched (lane-parallel Pallas when ``use_pallas``) Cholesky each
-    iteration (O(T^3/3) per step, but with batch-global LU rescue on
-    non-PD supports); 'cg' uses warm-started per-row conjugate gradient
-    (tolerance ``cg_tol`` on the T-space residual norm, max T+8 iters —
-    typically a handful thanks to the warm start). 'auto' = 'chol' when
-    the append kernel is available (TPU, or ``use_pallas=True`` for the
-    interpreted kernel off-TPU), else 'chol-full'/'cg' by problem size.
+    step; a degenerate support — e.g. exactly duplicated atoms — hits
+    the kernel's relative pivot floor, implicit jitter that preserves
+    the fitted residual; raise ``gram_jitter`` for nearly-collinear
+    dictionaries); 'chol-full' re-factorizes the carried [N, T, T]
+    support system with the batched (lane-parallel Pallas when
+    ``use_pallas``) Cholesky each iteration (O(T^3/3) per step, but with
+    batch-global LU rescue on non-PD supports); 'cg' uses warm-started
+    per-row conjugate gradient (tolerance ``cg_tol`` on the T-space
+    residual norm, max T+8 iters — typically a handful thanks to the
+    warm start). 'auto' = 'chol' when the append kernel is available
+    (TPU, or ``use_pallas=True`` for the interpreted kernel off-TPU);
+    otherwise 'chol-full' or 'cg' by the measured size crossover. An
+    EXPLICIT ``solver='chol'`` without the append kernel (float64, or
+    ``use_pallas=False``, or off-TPU with ``use_pallas='auto'``) warns
+    and falls back to the exact 'chol-full' path only — never to the
+    ``cg_tol``-inexact CG (that size-based remap is 'auto'-only).
+
+    ``ws_fast``: gate for the gather-free W_S-carry loop body ('auto' =
+    on under the append solver while the [N, T, D] W_S footprint stays
+    under 6 GB; True/False force). The legacy gather body computes the
+    same recursion (parity pinned in tests/test_omp.py).
 
     Atom selection normalizes correlations by column norms (exact greedy
     residual-decrease criterion; a no-op for unit-norm dictionaries).
@@ -102,12 +113,23 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     Tp = -(-T // 8) * 8          # append kernel wants panel-aligned T
     inc, inc_interpret = resolve_pallas(
         use_pallas, supports_lanes_append(Tp, N, x.dtype))
-    if solver in ("auto", "chol") and not inc:
+    if solver == "auto" and not inc:
         # no append kernel here: fall back by the measured crossover —
         # the refactorizing lane-parallel Cholesky stays ahead of
         # warm-started CG through [16384, 64, 64] (3.8 vs 4.3 s/solve);
         # CG takes over when the [N, T, T] factorization truly bites
         solver = "cg" if N * T * T > (1 << 27) else "chol-full"
+    elif solver == "chol" and not inc:
+        # an EXPLICIT exact-solver request never remaps to inexact CG:
+        # warn and take the exact refactorizing path instead
+        import warnings
+        warnings.warn(
+            "solver='chol' requested but the incremental append kernel "
+            "is unavailable here (needs float32 and a TPU backend, or "
+            "use_pallas=True for the interpreted kernel); falling back "
+            "to the exact refactorizing 'chol-full' path.",
+            stacklevel=2)
+        solver = "chol-full"
     elif solver == "auto":
         solver = "chol"
     if solver not in ("chol", "chol-full", "cg"):
@@ -139,7 +161,11 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     # T=64 headline (XLA gather/scatter lower catastrophically on TPU);
     # the contraction replacements are plain HBM bandwidth (~2 GB/iter).
     # Gated on the W_S footprint; beyond it the legacy gather body runs.
-    ws_fast = inc and N * T * D * x.dtype.itemsize <= (6 << 30)
+    # ws_fast=True/False forces the gate (test hook + large-W_S escape).
+    if ws_fast == "auto":
+        ws_fast = inc and N * T * D * x.dtype.itemsize <= (6 << 30)
+    else:
+        ws_fast = bool(ws_fast) and inc
 
     def select(idx, valid, sel, active, k, r):
         """Shared per-iteration atom selection from the residual."""

@@ -206,10 +206,15 @@ def _make_append_kernel(T):
     zero-padded rhs slots solve to exactly zero (frozen/unused samples
     are exact no-ops without masking).
 
-    Like ``jnp.linalg.cholesky``, a non-PD append (g[k] <= y.y, i.e. the
-    new row is linearly dependent on the block) yields NaN for that
-    sample; OMP's masked argmax never re-selects an atom, so this only
-    occurs for genuinely degenerate dictionaries (use ``gram_jitter``).
+    A non-PD append (g[k] <= y.y, i.e. the new row is linearly dependent
+    on the block — e.g. an exactly duplicated atom at a distinct index,
+    which OMP's masked argmax CAN select on degenerate dictionaries) is
+    guarded by a RELATIVE pivot floor ``max(g[k] - y.y, 1e-6 g[k])``:
+    implicit jitter that leaves healthy pivots bit-unchanged and turns a
+    would-be NaN into a bounded perturbation confined to the dependent
+    direction (the system is consistent there, so the fitted residual is
+    preserved; only the split of weight across the dependent atoms
+    moves).
     Solving through the explicit inverse is not backward stable like a
     substitution, but the error stays O(cond(L) * eps) — equal to the
     refactorizing path's in practice for OMP's well-conditioned greedy
@@ -235,7 +240,12 @@ def _make_append_kernel(T):
         gkk = jnp.sum(jnp.where(cols3 == k, g3, 0.0), axis=1,
                       keepdims=True)                        # [1, 1, bl]
         yy = jnp.sum(y3 * y3, axis=0, keepdims=True)        # [1, 1, bl]
-        inv_lkk = lax.rsqrt(gkk - yy)
+        # relative pivot floor (implicit jitter): a linearly-dependent
+        # append (duplicated atom) would give pivot <= 0 -> NaN; the
+        # floor keeps healthy pivots bit-identical and degrades the
+        # degenerate case to a bounded null-space-only perturbation
+        pivot = jnp.maximum(gkk - yy, 1e-6 * gkk + 1e-30)
+        inv_lkk = lax.rsqrt(pivot)
         new_row = (jnp.where(cols3 < k, -u3, 0.0)
                    + jnp.where(cols3 == k, 1.0, 0.0)) * inv_lkk
         vout_ref[pl.ds(k, 1), :, :] = new_row

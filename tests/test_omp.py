@@ -202,6 +202,71 @@ def test_incremental_matches_refactorizing(rng, shape, tol):
     z_full = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol-full")
     z_inc = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol",
                 use_pallas=True)
-    assert (np.asarray(z_full != 0) == np.asarray(z_inc != 0)).all()
-    np.testing.assert_allclose(np.asarray(z_inc), np.asarray(z_full),
-                               rtol=1e-4, atol=1e-5)
+    _assert_same_fit(x, W, z_inc, z_full)
+
+
+def _assert_same_fit(x, W, z_a, z_b):
+    """Coefficient equality when the supports agree; otherwise (an f32
+    argmax near-tie or a borderline tol-freeze can flip an atom choice
+    between the paths' differently-rounded contractions) fall back to
+    per-sample residual-norm equivalence (ADVICE r3 item 4)."""
+    sup_a, sup_b = np.asarray(z_a != 0), np.asarray(z_b != 0)
+    if (sup_a == sup_b).all():
+        np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_b),
+                                   rtol=1e-4, atol=1e-5)
+    else:
+        r_a = np.asarray(x - z_a @ W.T)
+        r_b = np.asarray(x - z_b @ W.T)
+        np.testing.assert_allclose(np.sum(r_a ** 2, axis=1),
+                                   np.sum(r_b ** 2, axis=1),
+                                   rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("tol", [None, 8.0])
+def test_legacy_inc_body_matches_chol_full(rng, tol):
+    """The inc-but-not-ws_fast combination (append kernel driving the
+    legacy gather body — what the 6 GB W_S gate selects at headline D)
+    must match the refactorizing path (ADVICE r3 item 3)."""
+    N, D, K, T = 48, 32, 64, 12
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    W = rng.standard_normal((D, K)).astype(np.float32)
+    W = jnp.asarray(W / np.linalg.norm(W, axis=0, keepdims=True))
+    z_leg = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol",
+                use_pallas=True, ws_fast=False)
+    z_full = omp(x, W, n_nonzero_coefs=T, tol=tol, solver="chol-full")
+    _assert_same_fit(x, W, z_leg, z_full)
+
+
+def test_explicit_chol_unavailable_warns_and_stays_exact(rng):
+    """An explicit solver='chol' without the append kernel must warn and
+    fall back to the EXACT 'chol-full' path, never to the
+    cg_tol-inexact CG (ADVICE r3 item 1)."""
+    N, D, K, T = 24, 16, 32, 8
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    W = rng.standard_normal((D, K)).astype(np.float32)
+    W = jnp.asarray(W / np.linalg.norm(W, axis=0, keepdims=True))
+    with pytest.warns(UserWarning, match="chol-full"):
+        z = omp(x, W, n_nonzero_coefs=T, solver="chol", use_pallas=False)
+    z_full = omp(x, W, n_nonzero_coefs=T, solver="chol-full",
+                 use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_full), atol=0)
+
+
+def test_duplicate_atom_degenerate_support_stays_finite(rng):
+    """Two identical atoms force a linearly-dependent append: the kernel's
+    relative pivot floor (implicit jitter) must keep the solution finite
+    with the fitted residual of the single-atom LS fit (the duplicate
+    adds no expressive power) — ADVICE r3 item 2 (was NaN)."""
+    D = 16
+    w = rng.standard_normal((D, 1)).astype(np.float32)
+    w /= np.linalg.norm(w)
+    W = jnp.asarray(np.concatenate([w, w], axis=1))
+    x = jnp.asarray(rng.standard_normal((8, D)).astype(np.float32))
+    z2 = omp(x, W, n_nonzero_coefs=2, solver="chol", use_pallas=True)
+    assert np.isfinite(np.asarray(z2)).all()
+    z1 = omp(x, W, n_nonzero_coefs=1, solver="chol", use_pallas=True)
+    r2 = np.asarray(x - z2 @ W.T)
+    r1 = np.asarray(x - z1 @ W.T)
+    np.testing.assert_allclose(np.sum(r2 ** 2, axis=1),
+                               np.sum(r1 ** 2, axis=1), rtol=1e-4,
+                               atol=1e-5)
