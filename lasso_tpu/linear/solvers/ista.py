@@ -114,12 +114,33 @@ def _resolve_mixed_tail(mixed_tail, n_blocks):
     return min(n_blocks, t)
 
 
+def _resolve_tail_iters(mixed_tail, mixed_tail_iters, maxiter, S):
+    """f32-tail length for the 'mixed' schedule, in ITERATIONS.
+
+    ``mixed_tail_iters`` (when given) wins and is exact: the tail is no
+    longer quantized to whole ``fuse_steps`` blocks — a sub-block tail
+    compiles its own smaller fused kernel (VERDICT r3 item 4), opening
+    the accuracy/speed Pareto between bf16-only and a full-block tail.
+    Otherwise the block-granular ``mixed_tail`` resolution applies, plus
+    the single-step remainder ``maxiter % S`` that has always run f32.
+    """
+    if mixed_tail_iters is not None:
+        t = int(mixed_tail_iters)
+        if t < 1:
+            raise ValueError(
+                f"mixed_tail_iters must be >= 1, got {mixed_tail_iters}")
+        return min(maxiter, t)
+    tail_blocks = _resolve_mixed_tail(mixed_tail, max(1, maxiter // S))
+    return min(maxiter, tail_blocks * S + maxiter % S)
+
+
 def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
          tol=1e-5, backtrack=False, eta_backtrack=1.5, backtrack_maxiter=1000,
          power_iters=500, precision=None, use_pallas="auto",
          kernel_precision="f32", fuse_steps="auto", mixed_tail="auto",
-         axis_name=None, per_sample_tol=False, restart=False, nonneg=False,
-         l2=0.0, verbose=False, return_iters=False):
+         mixed_tail_iters=None, axis_name=None, per_sample_tol=False,
+         restart=False, nonneg=False, l2=0.0, verbose=False,
+         return_iters=False):
     """(F)ISTA for the batched lasso (reference ista.py:57-103).
 
     Parameters mirror the reference; ``lr='auto'`` sets ``1/L`` with ``L``
@@ -149,6 +170,15 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     larger int to buy a lower error floor at reduced throughput (each
     extra block multiplies the floor by roughly the per-block
     contraction factor, ~0.96^S).
+
+    ``mixed_tail_iters``: f32-tail length in ITERATIONS (overrides
+    ``mixed_tail``). Not quantized to blocks: a sub-block tail (e.g. 12
+    iterations under S=25) compiles its own smaller fused kernel, so the
+    whole accuracy/speed Pareto between bf16-only and a full-block tail
+    is reachable. The tail contracts the bf16 floor at ~0.96/iter
+    (TPU-measured), so ~0.96^t sets the floor directly; the hardware
+    Pareto sweep lives in benchmarks/mixed_tpu_validation.py --tails
+    and docs/PERFORMANCE.md.
 
     ``fuse_steps``: number of FISTA iterations fused per kernel invocation
     (the iterates stay in VMEM between sub-steps, amortizing the z/z_prev
@@ -251,6 +281,7 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                    use_pallas=use_pallas,
                    kernel_precision=kernel_precision,
                    fuse_steps=fuse_steps, mixed_tail=mixed_tail,
+                   mixed_tail_iters=mixed_tail_iters,
                    axis_name=axis_name, per_sample_tol=per_sample_tol,
                    restart=restart, nonneg=nonneg, l2=l2, verbose=verbose,
                    return_iters=return_iters)
@@ -380,6 +411,9 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     if kernel_precision not in ("f32", "bf16", "mixed"):
         raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
                          f"'mixed', got {kernel_precision!r}")
+    if mixed_tail_iters is not None and kernel_precision != "mixed":
+        raise ValueError("mixed_tail_iters requires "
+                         "kernel_precision='mixed'")
 
     if restart:
         if not fast or backtrack or per_sample_tol:
@@ -422,45 +456,63 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
         state = (z0, z0, t0_vec, jnp.asarray(0), jnp.asarray(False))
 
         if fused and S > 1:
-            lr_s = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), (S,))
             a_f32 = jnp.asarray(alpha, jnp.float32)
-            # per-feature [1, K] alpha: the kernel takes the threshold
-            # row (alpha * lr) directly; otherwise per-sub-step scalars
-            th_s = (a_f32 * jnp.asarray(lr, jnp.float32)
-                    if a_f32.ndim == 2 else lr_s * a_f32)
 
-            def make_rm(kp, limit):
+            def make_rm(kp, limit, steps):
+                lr_s = jnp.broadcast_to(jnp.asarray(lr, jnp.float32),
+                                        (steps,))
+                # per-feature [1, K] alpha: the kernel takes the threshold
+                # row (alpha * lr) directly; otherwise per-sub-step scalars
+                th_s = (a_f32 * jnp.asarray(lr, jnp.float32)
+                        if a_f32.ndim == 2 else lr_s * a_f32)
+
                 def cond_rm(st):
                     _, _, _, k, done = st
                     return jnp.logical_and(jnp.logical_not(done),
-                                           k + S <= limit)
+                                           k + steps <= limit)
 
                 def body_rm(st):
                     z, z_prev, t_vec, k, _ = st
                     z_new, z_pen, t_new, delta = fused_fista_multistep(
-                        x, z, z_prev, weight, lr_s, th_s, jnp.zeros((S,)),
-                        steps=S, interpret=interpret,
+                        x, z, z_prev, weight, lr_s, th_s,
+                        jnp.zeros((steps,)), steps=steps,
+                        interpret=interpret,
                         kernel_precision=kp, t_vec=t_vec, nonneg=nonneg,
                         l2=l2)
                     if axis_name is not None:
                         delta = lax.psum(delta, axis_name)
-                    return (z_new, z_pen, t_new, k + S,
+                    return (z_new, z_pen, t_new, k + steps,
                             delta <= tol_total)
 
                 return cond_rm, body_rm
 
             if kernel_precision == "mixed":
                 # precision continuation composes with restart: the
-                # per-row t-vector carries across the phase switch
-                n_blocks = maxiter // S
-                tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
-                c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
+                # per-row t-vector carries across the phase switch.
+                # Same 4-loop structure as the non-restart path: full
+                # S-blocks + one remainder block per phase, so the f32
+                # tail can be any iteration count (mixed_tail_iters).
+                tail_iters = _resolve_tail_iters(
+                    mixed_tail, mixed_tail_iters, maxiter, S)
+                n_bf16 = maxiter - tail_iters
+                c1, b1 = make_rm("bf16", n_bf16, S)
                 state = lax.while_loop(c1, b1, state)
+                r1 = n_bf16 % S
+                if r1:
+                    c1r, b1r = make_rm("bf16", n_bf16, r1)
+                    state = lax.while_loop(c1r, b1r, state)
+                # drop the bf16 phase's (bf16-grade) convergence verdict:
+                # the f32 tail must always run
                 state = state[:4] + (jnp.asarray(False),)
-                c2, b2 = make_rm("f32", maxiter)
+                S_t = min(S, tail_iters)
+                r2 = tail_iters % S_t
+                c2, b2 = make_rm("f32", maxiter - r2, S_t)
                 state = lax.while_loop(c2, b2, state)
+                if r2:
+                    c2r, b2r = make_rm("f32", maxiter, r2)
+                    state = lax.while_loop(c2r, b2r, state)
             else:
-                c, b = make_rm(kernel_precision, maxiter)
+                c, b = make_rm(kernel_precision, maxiter, S)
                 state = lax.while_loop(c, b, state)
 
         z, _, _, k, _ = lax.while_loop(cond_r, body_r, state)
@@ -475,19 +527,19 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
     init = (z0, z0, t0, mom0, jnp.asarray(0), done0)
 
     if S > 1:
-        def make_multi(kp, limit):
+        def make_multi(kp, limit, steps):
             def cond_multi(state):
                 _, _, _, _, k, done = state
                 return jnp.logical_and(jnp.logical_not(done),
-                                       k + S <= limit)
+                                       k + steps <= limit)
 
             def body_multi(state):
                 z, z_prev, t, mom, k, _ = state
                 # unroll the (data-independent) t/momentum recurrence for
-                # the S sub-steps of this block
+                # the sub-steps of this block
                 mom_list = []
                 t_c, m_c = t, mom
-                for _ in range(S):
+                for _ in range(steps):
                     mom_list.append(m_c)
                     if fast:
                         t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
@@ -495,12 +547,12 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                         t_c = t_n
                 z_next, z_pen, delta = fused_fista_multistep(
                     x, z, z_prev, weight, lr, alpha * lr,
-                    jnp.stack(mom_list), steps=S, interpret=interpret,
+                    jnp.stack(mom_list), steps=steps, interpret=interpret,
                     kernel_precision=kp, nonneg=nonneg, l2=l2)
                 if axis_name is not None:
                     delta = lax.psum(delta, axis_name)
                 done = delta <= tol_total
-                return (z_next, z_pen, t_c, m_c, k + S, done)
+                return (z_next, z_pen, t_c, m_c, k + steps, done)
 
             return cond_multi, body_multi
 
@@ -510,21 +562,30 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
             # bf16 (2x the split-float pass count saved) as long as the
             # tail runs f32 — the f32 blocks contract the bf16-grade
             # iterate onto the f32 trajectory at FISTA's linear rate.
-            # ~12.5% of the blocks (minimum 1) are reserved for the f32
-            # tail by default; the tail length sets the mixed error
-            # floor (see _mixed_tail_blocks for the measured model).
-            n_blocks = maxiter // S
-            tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
-            c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
-            st = lax.while_loop(c1, b1, init)
+            # Tail length (default ~12.5% of the budget, min 1 block)
+            # sets the mixed error floor (see _mixed_tail_blocks);
+            # mixed_tail_iters unlocks sub-block tails — each phase runs
+            # full S-blocks plus one remainder block of its own size, so
+            # the bf16/f32 split can land on ANY iteration boundary.
+            tail_iters = _resolve_tail_iters(
+                mixed_tail, mixed_tail_iters, maxiter, S)
+            n_bf16 = maxiter - tail_iters
+            st = lax.while_loop(*make_multi("bf16", n_bf16, S), init)
+            r1 = n_bf16 % S
+            if r1:
+                st = lax.while_loop(*make_multi("bf16", n_bf16, r1), st)
             # the bf16 phase's convergence statistic is bf16-grade: drop
             # it so the f32 tail always runs (never stops earlier than
             # an all-f32 run would)
-            init = st[:5] + (jnp.asarray(False),)
-            c2, b2 = make_multi("f32", maxiter)
-            init = lax.while_loop(c2, b2, init)
+            st = st[:5] + (jnp.asarray(False),)
+            S_t = min(S, tail_iters)
+            r2 = tail_iters % S_t
+            st = lax.while_loop(*make_multi("f32", maxiter - r2, S_t), st)
+            if r2:
+                st = lax.while_loop(*make_multi("f32", maxiter, r2), st)
+            init = st
         else:
-            c, b = make_multi(kernel_precision, maxiter)
+            c, b = make_multi(kernel_precision, maxiter, S)
             init = lax.while_loop(c, b, init)
 
     z, _, _, _, k, _ = lax.while_loop(cond, body, init)

@@ -203,3 +203,97 @@ def test_mixed_error_floor_and_tail_dial():
     assert gap_m <= 2e-6, gap_m
     assert gap_m <= gap_b / 5, (gap_m, gap_b)
     assert gap_m_long <= gap_m * 1.05 + 1e-9, (gap_m_long, gap_m)
+
+
+def test_resolve_tail_iters():
+    """mixed_tail_iters resolution: defaults reproduce the block-granular
+    schedule (+ the single-step remainder that always ran f32); explicit
+    iteration counts are exact, clamped to the budget, and >= 1."""
+    from lasso_tpu.linear.solvers.ista import _resolve_tail_iters
+    # default == auto block tail * S + remainder
+    assert _resolve_tail_iters("auto", None, 200, 25) == 25
+    assert _resolve_tail_iters("auto", None, 800, 25) == 100
+    assert _resolve_tail_iters("auto", None, 210, 30) == 30
+    assert _resolve_tail_iters("auto", None, 37, 16) == 21   # 16 + 37%16
+    assert _resolve_tail_iters(2, None, 200, 25) == 50
+    # explicit iters win and are exact
+    assert _resolve_tail_iters("auto", 12, 200, 25) == 12
+    assert _resolve_tail_iters(2, 4, 200, 25) == 4
+    assert _resolve_tail_iters("auto", 999, 200, 25) == 200  # clamped
+    with pytest.raises(ValueError):
+        _resolve_tail_iters("auto", 0, 200, 25)
+
+
+def test_mixed_tail_iters_full_budget_equals_f32():
+    """mixed_tail_iters=maxiter makes every block f32: identical
+    arithmetic to kernel_precision='f32' (same S-blocks), so the codes
+    must agree exactly."""
+    n, d, k, alpha, lr = 16, 128, 256, 0.1, 0.08
+    x, W, z0 = _problem(3, n, d, k, alpha)
+    kw = dict(lr=lr, maxiter=200, tol=0.0, use_pallas=True, fuse_steps=25)
+    z_f = np.asarray(ista(x, z0, W, alpha, **kw))
+    z_m = np.asarray(ista(x, z0, W, alpha, kernel_precision="mixed",
+                          mixed_tail_iters=200, **kw))
+    np.testing.assert_array_equal(z_f, z_m)
+
+
+def test_mixed_tail_iters_sub_block_pareto():
+    """The sub-block tail opens the Pareto between bf16-only and the
+    1-block (25-iter) tail: a 4-iter tail already beats bf16-only, a
+    12-iter tail beats the 4-iter one, and the full-block tail is at
+    least as good as 12 (monotone up to the measured ~0.96/iter
+    contraction noise)."""
+    n, d, k, alpha, lr = 16, 128, 256, 0.3, 0.08
+    x, W, z0 = _problem(21, n, d, k, alpha)
+    f_star, _ = _f_star_x64(x, W, alpha, lr)
+    kw = dict(lr=lr, maxiter=200, tol=0.0, use_pallas=True, fuse_steps=25)
+
+    def gap(**extra):
+        return (_obj(x, W, alpha, ista(x, z0, W, alpha, **kw, **extra))
+                - f_star) / abs(f_star)
+
+    gap_b = gap(kernel_precision="bf16")
+    gap_4 = gap(kernel_precision="mixed", mixed_tail_iters=4)
+    gap_12 = gap(kernel_precision="mixed", mixed_tail_iters=12)
+    gap_25 = gap(kernel_precision="mixed", mixed_tail_iters=25)
+    assert gap_4 <= gap_b + 1e-9, (gap_4, gap_b)
+    assert gap_12 <= gap_4 * 1.05 + 1e-9, (gap_12, gap_4)
+    assert gap_25 <= gap_12 * 1.05 + 1e-9, (gap_25, gap_12)
+
+
+def test_mixed_tail_iters_exact_iteration_count():
+    """The 4-loop phase structure (full blocks + remainder block per
+    phase) must cover the budget exactly at tol=0, for tails that are
+    not block-multiples and budgets that are not divisible."""
+    n, d, k, alpha, lr = 16, 128, 256, 0.1, 0.08
+    x, W, z0 = _problem(9, n, d, k, alpha)
+    for maxiter, S, tail in [(200, 25, 12), (200, 25, 40), (210, 25, 47),
+                             (64, 16, 64), (50, 25, 1)]:
+        z, it = ista(x, z0, W, alpha, lr=lr, maxiter=maxiter, tol=0.0,
+                     use_pallas=True, fuse_steps=S,
+                     kernel_precision="mixed", mixed_tail_iters=tail,
+                     return_iters=True)
+        assert int(it) == maxiter, (maxiter, S, tail, int(it))
+        assert np.isfinite(np.asarray(z)).all()
+
+
+def test_mixed_tail_iters_composes_with_restart():
+    """Sub-block tails under per-row restart: the t-vector carries
+    across the S-block -> remainder-block -> f32-tail switches."""
+    n, d, k, alpha, lr = 16, 128, 256, 0.1, 0.08
+    x, W, z0 = _problem(13, n, d, k, alpha)
+    f_star, _ = _f_star_x64(x, W, alpha, lr)
+    kw = dict(lr=lr, maxiter=200, tol=0.0, use_pallas=True, fuse_steps=25,
+              restart=True)
+    gap_f = (_obj(x, W, alpha, ista(x, z0, W, alpha, **kw))
+             - f_star) / abs(f_star)
+    gap_m = (_obj(x, W, alpha,
+                  ista(x, z0, W, alpha, kernel_precision="mixed",
+                       mixed_tail_iters=12, **kw)) - f_star) / abs(f_star)
+    assert gap_m <= 5 * gap_f + 5e-6, (gap_m, gap_f)
+
+
+def test_mixed_tail_iters_requires_mixed():
+    x, W, z0 = _problem(1, 16, 128, 256, 0.1)
+    with pytest.raises(ValueError, match="mixed_tail_iters"):
+        ista(x, z0, W, 0.1, lr=0.08, maxiter=50, mixed_tail_iters=10)
