@@ -147,15 +147,35 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
       schedule-capped: once steps shorten near the central path, mu stops
       shrinking and the relative gap stalls (~7e-4 at 1024-class sizes,
       identical in x64 — it is the schedule, not arithmetic).
-    * ``'adaptive'`` — complementarity-proportional centering
-      (Mehrotra-style): ``mu = sigma * <z, s> / (2K)`` per sample, so mu
-      tracks the ACHIEVED duality measure each Newton step instead of a
-      one-way decay; short steps no longer freeze the schedule and the
-      gap keeps contracting geometrically (factor ~sigma per iteration
+    * ``'adaptive'`` — complementarity-proportional centering:
+      ``mu = sigma * <z, s> / (2K)`` per sample, so mu tracks the
+      ACHIEVED duality measure each Newton step instead of a one-way
+      decay; short steps no longer freeze the schedule and the gap
+      keeps contracting geometrically (factor ~sigma per iteration
       once steps are unblocked). Reaches <=1e-5-class relative
       objective gaps where the reference schedule stalls
       (test_heavy_solvers pins it at equal Newton-iteration budgets).
       ``sigma`` is the centering parameter (0 < sigma < 1).
+    * ``'mehrotra'`` — full predictor-corrector (Mehrotra 1992): each
+      Newton iteration first solves the AFFINE system (mu = 0) to probe
+      how far pure Newton could go, sets the centering parameter
+      adaptively per sample (``sigma_i = (mu_aff / mu)^3``), then solves
+      the CORRECTOR system whose complementarity rhs also cancels the
+      second-order term ``dz_aff * ds_aff``. Both solves share one
+      normal matrix: the Cholesky path builds (and factorizes) M once
+      per iteration with two triangular solves' worth of extra work,
+      and the CG path warm-starts the corrector from the affine
+      direction. ~2x fewer Newton iterations to a given gap than
+      'adaptive' (test_heavy_solvers pins the iteration advantage);
+      the ``sigma`` argument is ignored. With ``kkt_solver='cg'`` the
+      INNER solve accuracy must track the target gap: the predictor
+      conditions the normal equations like the terminal
+      complementarity, so sub-1e-5-class gaps need
+      ``cg_maxiter``/``cg_rtol`` tightened (x64-measured: defaults are
+      fine to ~1e-5; cg_maxiter=2000, cg_rtol=1e-13 matches the
+      Cholesky path's 4e-8 exactly). Rows whose inner solve breaks
+      down keep their last finite iterate (in-body guard) rather than
+      returning NaN.
 
     ``eps`` (the ``_general_inverse`` small-value cutoff, ip.py:32-35)
     sets the terminal-accuracy floor: dual slacks below it have their
@@ -171,9 +191,10 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
     batch mean, preserving the reference's whole-batch semantics.
     ``per_sample=True`` needs no reduction (rows are whole in a shard).
     """
-    if barrier_schedule not in ("reference", "adaptive"):
-        raise ValueError(f"barrier_schedule must be 'reference' or "
-                         f"'adaptive', got {barrier_schedule!r}")
+    if barrier_schedule not in ("reference", "adaptive", "mehrotra"):
+        raise ValueError(f"barrier_schedule must be 'reference', "
+                         f"'adaptive' or 'mehrotra', got "
+                         f"{barrier_schedule!r}")
     if eps is None:
         eps = 1e-5 if barrier_schedule == "reference" else 1e-8
     prec = get_precision(precision)
@@ -215,18 +236,52 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         # Newton directions (ip.py:165-179)
         s_inv = _general_inverse(s, eps)
         d = s_inv * z                                            # [B, 2K]
-        rhs = s_inv * rc - d * ra
-        rhs = rb - jnp.matmul(rhs, W.T, precision=prec)          # [B, D]
         if kkt_solver == "cholesky":
-            # M = W diag(d) W^T + I per sample: [B, D, D]
+            # M = W diag(d) W^T + I per sample: [B, D, D] — built ONCE
+            # per iteration (both Mehrotra solves share it)
             M = jnp.einsum("dk,bk,ek->bde", W, d, W,
                            precision=prec, optimize=True) + eye
-            d_lmbda = batch_cholesky_solve(rhs, M)               # [B, D]
-        else:
-            d_lmbda = _normal_cg(W, d, rhs, dl_prev,
+
+        def directions(rc_vec, warm):
+            """Newton directions for a given complementarity rhs; the
+            normal matrix (d) is fixed within the iteration, so the
+            predictor and corrector reuse the same M / CG operator."""
+            rhs = s_inv * rc_vec - d * ra
+            rhs = rb - jnp.matmul(rhs, W.T, precision=prec)      # [B, D]
+            if kkt_solver == "cholesky":
+                d_l = batch_cholesky_solve(rhs, M)               # [B, D]
+            else:
+                d_l = _normal_cg(W, d, rhs, warm,
                                  cg_maxiter, cg_rtol, prec)      # [B, D]
-        d_s = ra - jnp.matmul(d_lmbda, W, precision=prec)
-        d_z = s_inv * (rc - z * d_s)
+            d_sl = ra - jnp.matmul(d_l, W, precision=prec)
+            d_zc = s_inv * (rc_vec - z * d_sl)
+            return d_zc, d_l, d_sl
+
+        def ftb(v, dv):
+            """Fraction-to-boundary step length, capped at 1."""
+            beta = jnp.min(jnp.where(dv >= 0, _INF, -v / dv), 1,
+                           keepdims=True)
+            return jnp.clip(beta, None, 1.0)
+
+        if barrier_schedule == "mehrotra":
+            # predictor: pure-Newton (mu = 0) affine-scaling probe
+            dz_aff, dl_aff, ds_aff = directions(-z * s, dl_prev)
+            a_z = ftb(z, dz_aff)
+            a_s = ftb(s, ds_aff)
+            mu_cur = jnp.mean(z * s, axis=1, keepdims=True)      # [B, 1]
+            mu_aff = jnp.mean((z + a_z * dz_aff) * (s + a_s * ds_aff),
+                              axis=1, keepdims=True)
+            # adaptive per-sample centering: aggressive (sigma -> 0)
+            # where the affine step nearly clears complementarity,
+            # conservative (sigma -> 1) where it is blocked
+            ratio = mu_aff / jnp.maximum(mu_cur, 1e-30)
+            sigma_m = jnp.clip(ratio, 0.0, 1.0) ** 3
+            # corrector: center on sigma*mu and cancel the second-order
+            # complementarity term dz_aff * ds_aff (Mehrotra 1992)
+            rc = sigma_m * mu_cur - dz_aff * ds_aff - z * s
+            d_z, d_lmbda, d_s = directions(rc, dl_aff)
+        else:
+            d_z, d_lmbda, d_s = directions(rc, dl_prev)
 
         # fraction-to-boundary step sizes (ip.py:186-198)
         beta_z = jnp.min(jnp.where(d_z >= 0, _INF, -z / d_z), 1, keepdims=True)
@@ -237,12 +292,27 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         z_new = jnp.maximum(z + 0.99 * beta_z * d_z, 0.0)
         lmbda_new = lmbda + 0.99 * beta_sl * d_lmbda
         s_new = jnp.maximum(s + 0.99 * beta_sl * d_s, 0.0)
+
+        # per-row finiteness guard: at extreme terminal conditioning an
+        # inexact inner solve (kkt_solver='cg' past its accuracy budget)
+        # can produce a non-finite direction; keep that row's last good
+        # iterate instead of poisoning the output
+        row_ok = (jnp.isfinite(jnp.sum(z_new, axis=1))
+                  & jnp.isfinite(jnp.sum(lmbda_new, axis=1))
+                  & jnp.isfinite(jnp.sum(s_new, axis=1)))[:, None]
+        z_new = jnp.where(row_ok, z_new, z)
+        lmbda_new = jnp.where(row_ok, lmbda_new, lmbda)
+        s_new = jnp.where(row_ok, s_new, s)
         if barrier_schedule == "adaptive":
             # center on a fraction of the achieved per-sample duality
             # measure <z, s> / (2K) instead of the reference's one-way
             # step-coupled decay (see docstring)
             mu_new = sigma * (jnp.sum(z_new * s_new, axis=1, keepdims=True)
                               / z.shape[1])
+        elif barrier_schedule == "mehrotra":
+            # mu is re-derived inside the predictor each iteration; the
+            # carry just tracks the achieved duality measure
+            mu_new = jnp.mean(z_new * s_new, axis=1, keepdims=True)
         else:
             mu_new = mu * (1 - jnp.clip(jnp.minimum(beta_z, beta_sl),
                                         None, 0.99))

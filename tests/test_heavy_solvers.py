@@ -211,7 +211,68 @@ def test_interior_point_adaptive_schedule_beats_reference(rng):
     with pytest.raises(ValueError):
         interior_point(x_np.astype(np.float32),
                        W_np.astype(np.float32), alpha=alpha,
-                       barrier_schedule="mehrotra")
+                       barrier_schedule="bogus")
+
+
+def test_interior_point_mehrotra_predictor_corrector(rng):
+    """barrier_schedule='mehrotra' (VERDICT r3 item 6): the
+    predictor-corrector must reach a 1e-6-class gap in ~half the Newton
+    iterations 'adaptive' needs, on BOTH KKT solvers (the CG path with
+    inner accuracy matched to the target gap — see docstring), x64."""
+    import jax
+    from lasso_tpu.linalg import lipschitz_constant
+    from lasso_tpu.linear.solvers import ista
+
+    x_np = rng.standard_normal((64, 32))
+    W_np = rng.standard_normal((32, 128))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+    with jax.enable_x64():
+        x, W = jnp.asarray(x_np), jnp.asarray(W_np)
+        L = lipschitz_constant(W)
+        z_star = ista(x, jnp.zeros((64, 128)), W, alpha, lr=float(1 / L),
+                      maxiter=30000, tol=1e-15, use_pallas=False)
+        f_star = lasso_objective(x, W, z_star, alpha)
+
+        def gap_at(budget, sched, **kw):
+            z, _, k = interior_point(x, W, alpha=alpha, maxiter=budget,
+                                     tol=1e-12, return_iters=True,
+                                     barrier_schedule=sched, **kw)
+            return (lasso_objective(x, W, z, alpha) - f_star) \
+                / abs(f_star), int(k)
+
+        # equal small budget: mehrotra far ahead of adaptive
+        g_me8, _ = gap_at(8, "mehrotra")
+        g_ad8, _ = gap_at(8, "adaptive")
+        assert g_me8 < 1e-6, g_me8
+        assert g_me8 < g_ad8 / 50, (g_me8, g_ad8)
+        # iteration-count advantage: adaptive has not reached at 1.5x
+        # the budget what mehrotra reached at 8 (measured: 3.3e-6 vs
+        # 2.5e-7; adaptive needs ~14 iterations for mehrotra's 8)
+        g_ad12, _ = gap_at(12, "adaptive")
+        assert g_ad12 > g_me8, (g_ad12, g_me8)
+        # CG path with inner accuracy matched to the gap == Cholesky
+        g_cg, _ = gap_at(12, "mehrotra", kkt_solver="cg",
+                         cg_maxiter=2000, cg_rtol=1e-13)
+        g_ch, _ = gap_at(12, "mehrotra", kkt_solver="cholesky")
+        assert g_cg < 1e-6, g_cg
+        assert abs(g_cg - g_ch) < 1e-7 + 0.5 * abs(g_ch), (g_cg, g_ch)
+
+
+def test_interior_point_mehrotra_nonfinite_guard(rng):
+    """An under-resourced CG inner solve at extreme terminal
+    conditioning must degrade gracefully (rows keep their last finite
+    iterate), never emit NaNs."""
+    import jax
+    x_np = rng.standard_normal((32, 16))
+    W_np = rng.standard_normal((16, 64))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    with jax.enable_x64():
+        x, W = jnp.asarray(x_np), jnp.asarray(W_np)
+        z, _ = interior_point(x, W, alpha=0.2, maxiter=30, tol=1e-14,
+                              barrier_schedule="mehrotra",
+                              kkt_solver="cg")
+    assert np.isfinite(np.asarray(z)).all()
 
 
 def test_interior_point_cg_matches_cholesky(fista_solution):
