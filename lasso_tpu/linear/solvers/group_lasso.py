@@ -182,7 +182,7 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
                power_iters=500, precision=None, axis_name=None,
                restart=False, use_pallas="auto", fuse_steps="auto",
                kernel_precision="f32", mixed_tail="auto",
-               verbose=False, return_iters=False):
+               mixed_tail_iters=None, verbose=False, return_iters=False):
     """(F)ISTA for the batched group lasso / sparse-group lasso.
 
     Problem: ``min_z 0.5||z W^T - x||^2 + alpha sum_g w_g ||z_g||_2
@@ -246,8 +246,8 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
             power_iters=power_iters, precision=precision,
             axis_name=axis_name, restart=restart, use_pallas=use_pallas,
             fuse_steps=fuse_steps, kernel_precision=kernel_precision,
-            mixed_tail=mixed_tail, verbose=verbose,
-            return_iters=return_iters)
+            mixed_tail=mixed_tail, mixed_tail_iters=mixed_tail_iters,
+            verbose=verbose, return_iters=return_iters)
         if return_iters:
             z_u, k = out
             return z_u * a_col, k
@@ -279,7 +279,7 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
         tol_total = lax.psum(jnp.asarray(tol_total, x.dtype), axis_name)
 
     # ---- fused-kernel routing (ops/fused_group) -------------------------
-    from lasso_tpu.linear.solvers.ista import _resolve_mixed_tail
+    from lasso_tpu.linear.solvers.ista import _resolve_tail_iters
     from lasso_tpu.ops.common import resolve_pallas
     from lasso_tpu.ops.fused_group import (build_membership,
                                            fused_group_fista_multistep,
@@ -288,6 +288,9 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
     if kernel_precision not in ("f32", "bf16", "mixed"):
         raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
                          f"'mixed', got {kernel_precision!r}")
+    if mixed_tail_iters is not None and kernel_precision != "mixed":
+        raise ValueError("mixed_tail_iters requires "
+                         "kernel_precision='mixed'")
     # the kernel takes a scalar l1 threshold; the per-sample-alpha
     # rescale turns l1_alpha into an [N, 1] column -> XLA fallback
     fusable = (supports_fused_group_step(x, z0, weight, n_groups)
@@ -359,37 +362,50 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
         state = (z0, z0, t0_vec, jnp.asarray(0), jnp.asarray(False))
 
         if fused and S > 1:
-            def make_rm(kp, limit):
+            def make_rm(kp, limit, steps):
                 def cond_rm(st):
                     _, _, _, k, done = st
                     return jnp.logical_and(jnp.logical_not(done),
-                                           k + S <= limit)
+                                           k + steps <= limit)
 
                 def body_rm(st):
                     z, z_prev, t_vec, k, _ = st
                     z_new, z_pen, t_new, delta = \
                         fused_group_fista_multistep(
                             x, z, z_prev, weight, lr, thg_row, l1_th,
-                            jnp.zeros((S,)), m_fwd, m_bwd, steps=S,
-                            interpret=interpret, kernel_precision=kp,
+                            jnp.zeros((steps,)), m_fwd, m_bwd,
+                            steps=steps, interpret=interpret,
+                            kernel_precision=kp,
                             t_vec=t_vec, use_l1=use_l1)
                     if axis_name is not None:
                         delta = lax.psum(delta, axis_name)
-                    return (z_new, z_pen, t_new, k + S,
+                    return (z_new, z_pen, t_new, k + steps,
                             delta <= tol_total)
 
                 return cond_rm, body_rm
 
             if kernel_precision == "mixed":
-                n_blocks = maxiter // S
-                tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
-                c1, b1 = make_rm("bf16", maxiter - tail_blocks * S)
-                state = lax.while_loop(c1, b1, state)
+                # full S-blocks + one remainder block per phase — the
+                # same sub-block-tail structure as linear ista
+                # (mixed_tail_iters opens any iteration split)
+                tail_iters = _resolve_tail_iters(
+                    mixed_tail, mixed_tail_iters, maxiter, S)
+                n_bf16 = maxiter - tail_iters
+                state = lax.while_loop(*make_rm("bf16", n_bf16, S), state)
+                r1 = n_bf16 % S
+                if r1:
+                    state = lax.while_loop(*make_rm("bf16", n_bf16, r1),
+                                           state)
                 state = state[:4] + (jnp.asarray(False),)
-                c2, b2 = make_rm("f32", maxiter)
-                state = lax.while_loop(c2, b2, state)
+                S_t = min(S, tail_iters)
+                r2 = tail_iters % S_t
+                state = lax.while_loop(*make_rm("f32", maxiter - r2, S_t),
+                                       state)
+                if r2:
+                    state = lax.while_loop(*make_rm("f32", maxiter, r2),
+                                           state)
             else:
-                c, b = make_rm(kernel_precision, maxiter)
+                c, b = make_rm(kernel_precision, maxiter, S)
                 state = lax.while_loop(c, b, state)
 
         z, _, _, k, _ = lax.while_loop(cond_r, body_r, state)
@@ -422,18 +438,18 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
     init = (z0, z0, t0, mom0, jnp.asarray(0), jnp.asarray(False))
 
     if fused and S > 1:
-        def make_multi(kp, limit):
+        def make_multi(kp, limit, steps):
             def cond_multi(state):
                 _, _, _, _, k, done = state
                 return jnp.logical_and(jnp.logical_not(done),
-                                       k + S <= limit)
+                                       k + steps <= limit)
 
             def body_multi(state):
                 z, z_prev, t, mom, k, _ = state
                 # unroll the (data-independent) t/momentum recurrence
                 mom_list = []
                 t_c, m_c = t, mom
-                for _ in range(S):
+                for _ in range(steps):
                     mom_list.append(m_c)
                     if fast:
                         t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
@@ -441,28 +457,37 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
                         t_c = t_n
                 z_next, z_pen, delta = fused_group_fista_multistep(
                     x, z, z_prev, weight, lr, thg_row, l1_th,
-                    jnp.stack(mom_list), m_fwd, m_bwd, steps=S,
+                    jnp.stack(mom_list), m_fwd, m_bwd, steps=steps,
                     interpret=interpret, kernel_precision=kp,
                     use_l1=use_l1)
                 if axis_name is not None:
                     delta = lax.psum(delta, axis_name)
-                return (z_next, z_pen, t_c, m_c, k + S,
+                return (z_next, z_pen, t_c, m_c, k + steps,
                         delta <= tol_total)
 
             return cond_multi, body_multi
 
         if kernel_precision == "mixed":
-            n_blocks = maxiter // S
-            tail_blocks = _resolve_mixed_tail(mixed_tail, n_blocks)
-            c1, b1 = make_multi("bf16", maxiter - tail_blocks * S)
-            st = lax.while_loop(c1, b1, init)
+            # full S-blocks + one remainder block per phase (sub-block
+            # f32 tails via mixed_tail_iters — see linear ista)
+            tail_iters = _resolve_tail_iters(
+                mixed_tail, mixed_tail_iters, maxiter, S)
+            n_bf16 = maxiter - tail_iters
+            st = lax.while_loop(*make_multi("bf16", n_bf16, S), init)
+            r1 = n_bf16 % S
+            if r1:
+                st = lax.while_loop(*make_multi("bf16", n_bf16, r1), st)
             # bf16-grade convergence statistic: drop it so the f32 tail
             # always runs (never stops earlier than an all-f32 run)
-            init = st[:5] + (jnp.asarray(False),)
-            c2, b2 = make_multi("f32", maxiter)
-            init = lax.while_loop(c2, b2, init)
+            st = st[:5] + (jnp.asarray(False),)
+            S_t = min(S, tail_iters)
+            r2 = tail_iters % S_t
+            st = lax.while_loop(*make_multi("f32", maxiter - r2, S_t), st)
+            if r2:
+                st = lax.while_loop(*make_multi("f32", maxiter, r2), st)
+            init = st
         else:
-            c, b = make_multi(kernel_precision, maxiter)
+            c, b = make_multi(kernel_precision, maxiter, S)
             init = lax.while_loop(c, b, init)
 
     z, _, _, _, k, _ = lax.while_loop(cond, body, init)

@@ -314,3 +314,41 @@ def test_fused_group_mixed_precision_close(rng):
     obj = lambda z: float(group_lasso_objective(x, W, z, 0.3, 8))
     rel = abs(obj(z_mix) - obj(z_f32)) / abs(obj(z_f32))
     assert rel < 5e-5, rel
+
+
+def test_group_mixed_tail_iters():
+    """Sub-block f32 tails thread through the fused group kernel: full
+    budget == f32 exactly; a 12-iter tail covers the budget at tol=0 and
+    lands between bf16-only and f32 in objective."""
+    import numpy as np
+    rng = np.random.default_rng(4)
+    n, d, k = 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    W = jnp.asarray(
+        (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
+    z0 = jnp.zeros((n, k), jnp.float32)
+    kw = dict(groups=16, lr=0.08, maxiter=200, tol=0.0, use_pallas=True,
+              fuse_steps=25)
+
+    def obj(z):
+        z = np.asarray(z, np.float64)
+        r = z @ np.asarray(W, np.float64).T - np.asarray(x, np.float64)
+        g = z.reshape(n, k // 16, 16)
+        return (0.5 * np.sum(r * r)
+                + 0.1 * np.sum(np.sqrt(np.sum(g * g, axis=2))))
+
+    z_f = group_ista(x, z0, W, 0.1, **kw)
+    z_full = group_ista(x, z0, W, 0.1, kernel_precision="mixed",
+                        mixed_tail_iters=200, **kw)
+    np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z_full))
+
+    z_12, it = group_ista(x, z0, W, 0.1, kernel_precision="mixed",
+                          mixed_tail_iters=12, return_iters=True, **kw)
+    z_b = group_ista(x, z0, W, 0.1, kernel_precision="bf16", **kw)
+    assert int(it) == 200
+    f_f, f_12, f_b = obj(z_f), obj(z_12), obj(z_b)
+    assert f_12 <= f_b + 1e-9, (f_12, f_b)
+    assert f_12 >= f_f - 1e-7 * abs(f_f)
+
+    with pytest.raises(ValueError, match="mixed_tail_iters"):
+        group_ista(x, z0, W, 0.1, mixed_tail_iters=10, **kw)
