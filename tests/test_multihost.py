@@ -48,33 +48,35 @@ def _parse_report(stdout):
     raise AssertionError(f"no JSON report in output:\n{stdout}")
 
 
-def _run_topologies(extra):
-    """Run the harness 2-process and single-process on the same global
-    batch; return (report2, report1)."""
+def _run_topologies(extra, n_procs=2, local_devices=2):
+    """Run the harness ``n_procs``-process (``local_devices`` simulated
+    devices each) and single-process (same global device count) on the
+    same global batch; return (report_multi, report_single)."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     procs = [
         subprocess.Popen(
             [sys.executable, HARNESS, "--coordinator", coord,
-             "--num-processes", "2", "--process-id", str(i)]
+             "--num-processes", str(n_procs), "--process-id", str(i)]
             + COMMON + extra,
-            env=_env(2), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True)
-        for i in range(2)
+            env=_env(local_devices), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=600)
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"child failed rc={rc}\nstdout:{out}\nstderr:{err}"
-    report2 = _parse_report(outs[0][1])
+    report_multi = _parse_report(outs[0][1])
 
     single = subprocess.run(
         [sys.executable, HARNESS] + COMMON + extra,
-        env=_env(4), capture_output=True, text=True, timeout=300)
+        env=_env(n_procs * local_devices), capture_output=True, text=True,
+        timeout=600)
     assert single.returncode == 0, single.stderr
-    return report2, _parse_report(single.stdout)
+    return report_multi, _parse_report(single.stdout)
 
 
 @pytest.mark.slow
@@ -124,4 +126,32 @@ def test_two_process_cpu_simulation_matches_single_process():
 
     # the sharded EM trajectory must agree across process topologies
     assert abs(report2["final_loss"] - report1["final_loss"]) \
+        <= 1e-4 * max(1.0, abs(report1["final_loss"]))
+
+
+@pytest.mark.slow
+def test_four_process_matches_single_process():
+    """4 simulated hosts x 2 devices (VERDICT r3 item 8): four-way
+    contiguous process-local batch splits over an 8-device data axis —
+    a process-to-mesh mapping 2 processes cannot exercise (each process
+    owns a strict minority of the axis)."""
+    report4, report1 = _run_topologies([], n_procs=4, local_devices=2)
+    assert report4["processes"] == 4
+    assert report4["devices"] == 8
+    assert abs(report4["final_loss"] - report1["final_loss"]) \
+        <= 1e-4 * max(1.0, abs(report1["final_loss"]))
+
+
+@pytest.mark.slow
+def test_four_process_2d_mesh_model_parallel():
+    """4 hosts x 2 devices with a ('data'=4, 'model'=2) mesh: the model
+    (atom-sharding) axis lives INSIDE each process while the data axis
+    crosses process boundaries — the 2-D process-to-mesh mapping of a
+    real pod slice. The GSPMD route's all-gathers and the psum'd ridge
+    must reproduce the single-process trajectory."""
+    report4, report1 = _run_topologies(["--model-parallel", "2"],
+                                       n_procs=4, local_devices=2)
+    assert report4["processes"] == 4
+    assert report4["devices"] == 8
+    assert abs(report4["final_loss"] - report1["final_loss"]) \
         <= 1e-4 * max(1.0, abs(report1["final_loss"]))
