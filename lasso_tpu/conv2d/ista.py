@@ -21,9 +21,109 @@ from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
 
 
+def _ista_conv2d_fused(x, z0, weight, alpha, padding, maxiter, lr,
+                       tol_total, phases, fuse_steps, nonneg, interpret,
+                       axis_name, return_iters):
+    """Multi-step fused-kernel path of :func:`ista_conv2d` (stride 1).
+
+    The iterates live in the canvas layout of
+    :mod:`lasso_tpu.ops.fused_conv` for the whole solve (packed once,
+    unpacked once); each phase (one for 'f32'/'bf16', bf16-bulk + f32
+    tail for 'mixed') runs full ``S``-iteration fused blocks plus one
+    remainder block of its own size, so any ``maxiter``/tail split is
+    covered exactly — the same structure as the linear solver's
+    precision continuation (linear/solvers/ista.py).
+    """
+    from lasso_tpu.conv2d.ops import _pair
+    from lasso_tpu.ops.fused_conv import (canvas_dims,
+                                          fused_conv_fista_multistep,
+                                          pack_codes, pack_images,
+                                          unpack_codes)
+
+    N = x.shape[0]
+    Cz, Cx, kh, kw = weight.shape
+    Hz, Wz = z0.shape[-2:]
+    pad = _pair(padding)[0]
+    Hp, Wp, cells = canvas_dims((Hz, Wz), (kh, kw))
+    shape_info = (Cx, kh, kw, Wp, cells, pad, Hz, Wz)
+
+    if fuse_steps == "auto":
+        S = next((s for s in range(min(16, maxiter), 0, -1)
+                  if maxiter % s == 0), 1)
+        if S < 4:
+            S = min(8, maxiter)
+    else:
+        S = max(1, int(fuse_steps))
+    S = min(S, maxiter)
+
+    lr_f = jnp.asarray(lr, jnp.float32)
+    a_arr = jnp.asarray(alpha, jnp.float32)
+    per_channel = a_arr.ndim > 0
+    if per_channel:
+        th_col = a_arr.reshape(Cz, 1) * lr_f
+
+    x_t = pack_images(x, (Hz, Wz), (kh, kw), pad)
+    z_t = pack_codes(z0, (kh, kw))
+
+    def make_block(mode, limit, steps):
+        lrs = jnp.broadcast_to(lr_f, (steps,))
+        ths = th_col if per_channel else lrs * a_arr
+
+        def cond(st):
+            _, _, _, _, k, done = st
+            return jnp.logical_and(jnp.logical_not(done),
+                                   k + steps <= limit)
+
+        def body(st):
+            z, zp, t, mom, k, _ = st
+            mom_list = []
+            t_c, m_c = t, mom
+            for _ in range(steps):
+                mom_list.append(m_c)
+                t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
+                m_c = (t_c - 1) / t_n
+                t_c = t_n
+            z2, zp2, delta = fused_conv_fista_multistep(
+                x_t, z, zp, weight, lrs, ths, jnp.stack(mom_list),
+                steps=steps, shape_info=shape_info, interpret=interpret,
+                kernel_precision=mode, nonneg=nonneg)
+            if axis_name is not None:
+                delta = lax.psum(delta, axis_name)
+            return (z2, zp2, t_c, m_c, k + steps, delta <= tol_total)
+
+        return cond, body
+
+    st = (z_t, z_t, jnp.asarray(1.0, jnp.float32),
+          jnp.asarray(0.0, jnp.float32), jnp.asarray(0),
+          jnp.asarray(False))
+    start = 0
+    for idx, (mode, limit) in enumerate(phases):
+        length = limit - start
+        if length <= 0:
+            start = limit
+            continue
+        Sb = min(S, length)
+        r = length % Sb
+        st = lax.while_loop(*make_block(mode, limit - r, Sb), st)
+        if r:
+            st = lax.while_loop(*make_block(mode, limit, r), st)
+        if idx + 1 < len(phases):
+            # a bf16 phase's convergence statistic is bf16-grade: the
+            # f32 tail must always run
+            st = st[:5] + (jnp.asarray(False),)
+        start = limit
+
+    z_t, _, _, _, k, _ = st
+    z = unpack_codes(z_t, N, (Hz, Wz), (kh, kw))
+    if return_iters:
+        return z, k
+    return z
+
+
 def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
                 maxiter=10, lr="auto", tol=1e-5, restart=False,
                 kernel_precision="f32", mixed_tail="auto", nonneg=False,
+                use_pallas="auto", fuse_steps="auto",
                 axis_name=None, verbose=False, return_iters=False):
     """Conv FISTA (reference conv2d/ista.py:7-48).
 
@@ -59,6 +159,22 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     the channel weights broadcast as ``[1, C_z, 1, 1]`` through every
     precision/restart path natively (weighted conv lasso).
 
+    ``use_pallas``: 'auto' runs stride-1 problems through the MULTI-STEP
+    fused Pallas kernel (:mod:`lasso_tpu.ops.fused_conv`) on TPU
+    backends — ``fuse_steps`` conv FISTA iterations per invocation with
+    the iterates resident in VMEM in the channels-on-sublanes canvas
+    layout (the same HBM-amortization lever as the linear solver's
+    fused kernel). True forces it (interpreted off-TPU, for tests);
+    False always uses the plain XLA step. The fused path engages for
+    ``fast=True`` without ``restart``/``verbose``; convergence is then
+    checked every ``fuse_steps`` iterations at block boundaries (never
+    stopping earlier than the reference would — same contract as
+    linear ``ista``'s ``fuse_steps``).
+
+    ``fuse_steps``: iterations fused per kernel invocation; 'auto'
+    picks the largest divisor of ``maxiter`` <= 16 (falling back to 8
+    with an in-kernel remainder block).
+
     ``verbose`` prints the lasso loss per iteration (reference
     conv2d/ista.py:36-37).
     """
@@ -75,7 +191,8 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
             x / a_col, z0 / a_col, weight, 1.0, stride=stride,
             padding=padding, fast=fast, maxiter=maxiter, lr=lr, tol=tol,
             restart=restart, kernel_precision=kernel_precision,
-            mixed_tail=mixed_tail, nonneg=nonneg, axis_name=axis_name,
+            mixed_tail=mixed_tail, nonneg=nonneg, use_pallas=use_pallas,
+            fuse_steps=fuse_steps, axis_name=axis_name,
             verbose=verbose, return_iters=return_iters)
         if return_iters:
             z_u, k = out
@@ -118,6 +235,17 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     else:
         phases = [(kernel_precision, maxiter)]
     w_bf16 = _round_bf16(weight) if phases[0][0] == "bf16" else None
+
+    from lasso_tpu.ops.common import resolve_pallas
+    from lasso_tpu.ops.fused_conv import supports_fused_conv
+    fused, interpret = resolve_pallas(
+        use_pallas,
+        fast and not restart and not verbose
+        and supports_fused_conv(x, z0, weight, stride, padding))
+    if fused:
+        return _ista_conv2d_fused(
+            x, z0, weight, alpha, padding, maxiter, lr, tol_total, phases,
+            fuse_steps, nonneg, interpret, axis_name, return_iters)
 
     def rss_grad(zk, mode):
         if mode == "bf16":
