@@ -51,12 +51,14 @@ from lasso_tpu.linalg.conjgrad import conjgrad_per_row
 from lasso_tpu.ops.batched_cholesky import (cholesky_append_solve_lanes,
                                             supports_lanes_append)
 from lasso_tpu.ops.common import resolve_pallas
+from lasso_tpu.ops.fused_omp import fused_omp_solve, supports_fused_omp
 
 
 def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
                                 precision=None, gram_jitter=0.0,
                                 solver="auto", cg_tol=1e-10,
                                 use_pallas="auto", ws_fast="auto",
+                                kernel_precision="f32",
                                 verbose=False, return_iters=False):
     """Batched OMP: ``min_z ||z W^T - x||^2  s.t. ||z||_0 <= T`` (greedy).
 
@@ -69,7 +71,14 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     semantics); a stopped sample's support is frozen exactly.
     ``gram_jitter``: optional diagonal jitter for the support Gram solve
     (0 by default; raise for nearly-collinear dictionaries).
-    ``solver``: 'chol' (default) carries the Cholesky factor and APPENDS
+    ``solver``: 'fused' runs the ENTIRE greedy solve in one Pallas
+    invocation per 128-sample tile (QR-OMP via modified Gram-Schmidt,
+    :func:`lasso_tpu.ops.fused_omp.fused_omp_solve`) — residual, basis
+    and selection state VMEM-resident, zero per-iteration HBM traffic;
+    the LS fit is f32-grade (vs the exact-Cholesky paths) and
+    ``kernel_precision`` ('f32' split-float default, or 'bf16') sets
+    the selection-correlation matmul precision. 'chol' carries the
+    Cholesky factor and APPENDS
     one row per iteration (fused Pallas append+solve kernel, O(T^2) per
     step; a degenerate support — e.g. exactly duplicated atoms — hits
     the kernel's relative pivot floor, implicit jitter that preserves
@@ -80,13 +89,14 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     batch-global LU rescue on non-PD supports); 'cg' uses warm-started
     per-row conjugate gradient (tolerance ``cg_tol`` on the T-space
     residual norm, max T+8 iters — typically a handful thanks to the
-    warm start). 'auto' = 'chol' when the append kernel is available
-    (TPU, or ``use_pallas=True`` for the interpreted kernel off-TPU);
-    otherwise 'chol-full' or 'cg' by the measured size crossover. An
-    EXPLICIT ``solver='chol'`` without the append kernel (float64, or
-    ``use_pallas=False``, or off-TPU with ``use_pallas='auto'``) warns
-    and falls back to the exact 'chol-full' path only — never to the
-    ``cg_tol``-inexact CG (that size-based remap is 'auto'-only).
+    warm start). 'auto' = 'fused' when the whole-solve kernel is
+    available (TPU or ``use_pallas=True``; f32, 128-aligned D/K, VMEM
+    fit, ``verbose=False``, ``gram_jitter=0``), then 'chol' when the
+    append kernel is; otherwise 'chol-full' or 'cg' by the measured
+    size crossover. An EXPLICIT ``solver='fused'``/'chol' whose kernel
+    is unavailable warns and falls back ('fused' -> 'auto'; 'chol' ->
+    the exact 'chol-full' only — never to the ``cg_tol``-inexact CG,
+    that size-based remap is 'auto'-only).
 
     ``ws_fast``: gate for the gather-free W_S-carry loop body ('auto' =
     on under the append solver while the [N, T, D] W_S footprint stays
@@ -111,6 +121,34 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
             f"n_nonzero_coefs must be in [1, min(D, K)] = "
             f"[1, {min(D, K)}], got {T}")
     Tp = -(-T // 8) * 8          # append kernel wants panel-aligned T
+    # whole-solve fused kernel (ops/fused_omp.py): residual, Q/R factor
+    # and selection mask VMEM-resident for all T iterations — the TPU
+    # default. verbose needs per-iteration host prints and an explicit
+    # gram_jitter bypasses the kernel's own relative pivot floor, so
+    # both route to the while_loop paths.
+    fused_on, fused_interp = resolve_pallas(
+        use_pallas, supports_fused_omp(N, D, K, T, x.dtype)
+        and not verbose and not gram_jitter)
+    if solver == "fused" and not fused_on:
+        import warnings
+        warnings.warn(
+            "solver='fused' requested but the whole-solve kernel is "
+            "unavailable here (needs float32, 128-aligned D and K, a "
+            "VMEM-sized working set, verbose=False, gram_jitter=0, and "
+            "a TPU backend or use_pallas=True); falling back to "
+            "solver='auto'.", stacklevel=2)
+        solver = "auto"
+    if solver == "auto" and fused_on:
+        solver = "fused"
+    if solver == "fused":
+        idx, valid, z_s = fused_omp_solve(
+            x, weight, T, tol=tol, interpret=fused_interp,
+            kernel_precision=kernel_precision)
+        z = jnp.zeros((N, K), x.dtype).at[
+            jnp.arange(N)[:, None], idx].add(z_s)
+        if return_iters:
+            return z, jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+        return z
     inc, inc_interpret = resolve_pallas(
         use_pallas, supports_lanes_append(Tp, N, x.dtype))
     if solver == "auto" and not inc:
@@ -133,8 +171,8 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     elif solver == "auto":
         solver = "chol"
     if solver not in ("chol", "chol-full", "cg"):
-        raise ValueError(f"solver must be 'chol', 'chol-full', 'cg' or "
-                         f"'auto', got {solver!r}")
+        raise ValueError(f"solver must be 'fused', 'chol', 'chol-full', "
+                         f"'cg' or 'auto', got {solver!r}")
     inc = solver == "chol"
     # lane padding for the append kernel (Mosaic: lane block must be a
     # multiple of 128 or the whole axis); padded lanes carry identity
