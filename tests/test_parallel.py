@@ -116,6 +116,20 @@ def test_data_parallel_encode_cd_shard_map(rng, mesh8):
                                atol=1e-5)
 
 
+def test_data_parallel_encode_omp_fused_shard_map(rng, mesh8):
+    """OMP's whole-solve fused kernel under shard_map: each shard runs
+    the kernel on its LOCAL batch (interpret on CPU) — the route real
+    TPU meshes take now that solver='auto' prefers 'fused'."""
+    x, W = make_problem(rng, n=64, d=128, k=256)  # fused-supported shape
+    z_single = sparse_encode(x, W, algorithm="omp", n_nonzero_coefs=6,
+                             solver="fused", use_pallas=True)
+    z_shard = data_parallel_encode(mesh8, x, W, algorithm="omp",
+                                   n_nonzero_coefs=6, solver="fused",
+                                   use_pallas=True)
+    np.testing.assert_allclose(np.asarray(z_shard), np.asarray(z_single),
+                               atol=1e-5)
+
+
 def test_data_parallel_encode_cd_mod_shard_map(rng, mesh8):
     x, W = make_problem(rng)
     z_single = sparse_encode(x, W, 0.2, algorithm="cd-mod", max_iter=200)
