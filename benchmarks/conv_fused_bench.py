@@ -57,6 +57,7 @@ def main():
         ("fused-f32", dict(use_pallas=True)),
         ("fused-bf16", dict(use_pallas=True, kernel_precision="bf16")),
         ("fused-mixed", dict(use_pallas=True, kernel_precision="mixed")),
+        ("fused-restart", dict(use_pallas=True, restart=True)),
     ]:
         run = jax.jit(lambda x, z0, W, kws=kws: ista_conv2d(
             x, z0, W, ALPHA, lr=lr, maxiter=args.iters, tol=0.0, **kws))

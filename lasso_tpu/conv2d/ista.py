@@ -22,8 +22,8 @@ from lasso_tpu.ops.shrink import (soft_threshold,
 
 
 def _ista_conv2d_fused(x, z0, weight, alpha, padding, maxiter, lr,
-                       tol_total, phases, fuse_steps, nonneg, interpret,
-                       axis_name, return_iters):
+                       tol_total, phases, fuse_steps, nonneg, restart,
+                       interpret, axis_name, return_iters):
     """Multi-step fused-kernel path of :func:`ista_conv2d` (stride 1).
 
     The iterates live in the canvas layout of
@@ -76,24 +76,41 @@ def _ista_conv2d_fused(x, z0, weight, alpha, padding, maxiter, lr,
 
         def body(st):
             z, zp, t, mom, k, _ = st
-            mom_list = []
-            t_c, m_c = t, mom
-            for _ in range(steps):
-                mom_list.append(m_c)
-                t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
-                m_c = (t_c - 1) / t_n
-                t_c = t_n
-            z2, zp2, delta = fused_conv_fista_multistep(
-                x_t, z, zp, weight, lrs, ths, jnp.stack(mom_list),
-                steps=steps, shape_info=shape_info, interpret=interpret,
-                kernel_precision=mode, nonneg=nonneg)
+            if restart:
+                # per-sample t rides in-kernel; the scalar mom slot is a
+                # placeholder (the kernel ignores moms under restart)
+                z2, zp2, t2, delta = fused_conv_fista_multistep(
+                    x_t, z, zp, weight, lrs, ths,
+                    jnp.zeros((steps,), jnp.float32), steps=steps,
+                    shape_info=shape_info, interpret=interpret,
+                    kernel_precision=mode, nonneg=nonneg, t_vec=t)
+                m_c = mom
+            else:
+                mom_list = []
+                t_c, m_c = t, mom
+                for _ in range(steps):
+                    mom_list.append(m_c)
+                    t_n = (1 + jnp.sqrt(1 + 4 * t_c * t_c)) / 2
+                    m_c = (t_c - 1) / t_n
+                    t_c = t_n
+                z2, zp2, delta = fused_conv_fista_multistep(
+                    x_t, z, zp, weight, lrs, ths, jnp.stack(mom_list),
+                    steps=steps, shape_info=shape_info,
+                    interpret=interpret, kernel_precision=mode,
+                    nonneg=nonneg)
+                t2 = t_c
             if axis_name is not None:
                 delta = lax.psum(delta, axis_name)
-            return (z2, zp2, t_c, m_c, k + steps, delta <= tol_total)
+            return (z2, zp2, t2, m_c, k + steps, delta <= tol_total)
 
         return cond, body
 
-    st = (z_t, z_t, jnp.asarray(1.0, jnp.float32),
+    # restart carries the per-sample t row, canvas-expanded (lagged
+    # convention, init 0 — matching the XLA restart body); plain FISTA
+    # carries the scalar t/momentum pair
+    st = (z_t, z_t,
+          jnp.zeros((1, z_t.shape[1]), jnp.float32) if restart
+          else jnp.asarray(1.0, jnp.float32),
           jnp.asarray(0.0, jnp.float32), jnp.asarray(0),
           jnp.asarray(False))
     start = 0
@@ -166,10 +183,12 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     layout (the same HBM-amortization lever as the linear solver's
     fused kernel). True forces it (interpreted off-TPU, for tests);
     False always uses the plain XLA step. The fused path engages for
-    ``fast=True`` without ``restart``/``verbose``; convergence is then
-    checked every ``fuse_steps`` iterations at block boundaries (never
-    stopping earlier than the reference would — same contract as
-    linear ``ista``'s ``fuse_steps``).
+    ``fast=True`` without ``verbose`` (``restart=True`` composes: the
+    per-sample t-sequence rides in-kernel, with the lane-segment
+    reductions done via a one-hot membership matrix on the MXU);
+    convergence is then checked every ``fuse_steps`` iterations at
+    block boundaries (never stopping earlier than the reference would —
+    same contract as linear ``ista``'s ``fuse_steps``).
 
     ``fuse_steps``: iterations fused per kernel invocation; 'auto'
     picks the largest divisor of ``maxiter`` <= 16 (falling back to 8
@@ -240,12 +259,13 @@ def ista_conv2d(x, z0, weight, alpha=1.0, stride=1, padding=0, fast=True,
     from lasso_tpu.ops.fused_conv import supports_fused_conv
     fused, interpret = resolve_pallas(
         use_pallas,
-        fast and not restart and not verbose
+        fast and not verbose
         and supports_fused_conv(x, z0, weight, stride, padding))
     if fused:
         return _ista_conv2d_fused(
             x, z0, weight, alpha, padding, maxiter, lr, tol_total, phases,
-            fuse_steps, nonneg, interpret, axis_name, return_iters)
+            fuse_steps, nonneg, restart, interpret, axis_name,
+            return_iters)
 
     def rss_grad(zk, mode):
         if mode == "bf16":

@@ -48,8 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.fused_ista import (_round_bf16, _split_bf16,
-                                      _split_bf16_xla)
+from lasso_tpu.ops.fused_ista import (_dot_nn, _dot_nt, _round_bf16,
+                                      _split_bf16, _split_bf16_xla)
 from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
 
@@ -125,42 +125,59 @@ def _mask_row(z_hw, k_hw, padding, which):
     return row
 
 
-def _k_mats(weight):
-    """(k1, k2): tap-major fold matrices, kj-slot PADDED TO 8 rows so the
-    in-kernel rotates run on full 8-sublane vregs (a single-row rotate
-    wastes 7/8 of the VPU — measured as the kernel's bottleneck).
+def _n_g8(kw):
+    """8-row roll subgroups per (cx, ki) tap row: kj is chunked into
+    ceil(kw/8) stride-1 groups so every rotate runs on a full 8-sublane
+    vreg regardless of filter width."""
+    return -(-kw // 8)
 
-    k1 rows are ordered ((cx, ki), kj ASCENDING, padded to 8): group
-    g = cx*kh + ki rolls with base ki*Wp and stride 1, so row kj lands
-    at lane offset ki*Wp + kj. Pad rows are zero, so their (garbage)
+
+def _k_mats(weight):
+    """(k1, k2): tap-major fold matrices, kj-slots PADDED TO 8-row
+    subgroups so the in-kernel rotates run on full 8-sublane vregs (a
+    single-row rotate wastes 7/8 of the VPU — measured as the kernel's
+    bottleneck). Filters wider than 8 take ceil(kw/8) subgroups per
+    (cx, ki), each covering kj in [8*g8, min(kw, 8*g8+8)).
+
+    k1 rows are ordered ((cx, ki, g8), kj ASCENDING within the
+    subgroup): subgroup (cx, ki, g8) rolls with base ki*Wp + 8*g8 and
+    stride 1, so row r lands at lane offset ki*Wp + 8*g8 + r = the tap
+    offset of kj = 8*g8 + r. Pad rows are zero, so their (garbage)
     rotations contribute nothing to the fold sum.
 
-    k2 columns are ordered ((cx, ki), kj DESCENDING, padded to 8): the
-    adjoint needs NEGATIVE offsets -(ki*Wp + kj) mod L, which become a
-    stride-(+1) progression exactly when kj descends within the group
-    (shift_r = L - ki*Wp - (kw-1) + r ≡ -(ki*Wp + kj) for kj = kw-1-r).
-    Pad columns are zero, masking the spread's garbage rows.
+    k2 columns are ordered ((cx, ki, g8), kj DESCENDING within the
+    subgroup): the adjoint needs NEGATIVE offsets -(ki*Wp + kj) mod L,
+    which become a stride-(+1) progression exactly when kj descends
+    (shift_r = L - ki*Wp - (hi-1) + r ≡ -(ki*Wp + kj) for kj = hi-1-r,
+    hi = the subgroup's end). Pad columns are zero, masking the
+    spread's garbage rows.
     """
     Cz, Cx, kh, kw = weight.shape
-    k1 = jnp.zeros((Cx * kh * 8, Cz), weight.dtype)
+    rows = Cx * kh * _n_g8(kw) * 8
+    k1 = jnp.zeros((rows, Cz), weight.dtype)
     k1 = k1.at[_slot_rows(Cx, kh, kw, descending=False), :].set(
         weight.transpose(1, 2, 3, 0).reshape(Cx * kh * kw, Cz))
-    k2 = jnp.zeros((Cz, Cx * kh * 8), weight.dtype)
+    k2 = jnp.zeros((Cz, rows), weight.dtype)
     k2 = k2.at[:, _slot_rows(Cx, kh, kw, descending=True)].set(
         weight.transpose(1, 2, 3, 0).reshape(Cx * kh * kw, Cz).T)
     return k1, k2
 
 
 def _slot_rows(Cx, kh, kw, descending):
-    """Group-layout row of each source tap (source order: cx, ki, kj
-    ascending). 'descending' places tap kj at row base + (kw-1-kj)."""
+    """Subgroup-layout row of each source tap (source order: cx, ki, kj
+    ascending). 'descending' places tap kj at its subgroup's row
+    base + (hi-1-kj) where hi is the subgroup's (exclusive) end."""
     import numpy as np
+    G8 = _n_g8(kw)
     rows = []
     for cx in range(Cx):
         for ki in range(kh):
-            base = (cx * kh + ki) * 8
-            rows.extend(base + (kw - 1 - kj if descending else kj)
-                        for kj in range(kw))
+            for kj in range(kw):
+                g8 = kj // 8
+                lo, hi = 8 * g8, min(kw, 8 * g8 + 8)
+                base = ((cx * kh + ki) * G8 + g8) * 8
+                rows.append(base + (hi - 1 - kj if descending
+                                    else kj - lo))
     return np.asarray(rows)
 
 
@@ -182,13 +199,23 @@ def _strided_roll8(v, base, Lw):
 
 
 def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
-                      nonneg=False, has_col=False):
+                      nonneg=False, has_col=False, restart=False):
     """Build the S-step fused conv FISTA kernel body.
 
     ``shape_info`` = (Cx, kh, kw, Wp): static tap geometry. The kernel
     operates on one lane-tile of ``bn`` samples; conv FISTA is
     sample-parallel, so consecutive iterations stay in VMEM exactly as
     in the linear multi-step kernel (ops/fused_ista.py).
+
+    ``restart=True`` adds PER-SAMPLE adaptive momentum restart
+    (O'Donoghue & Candes, same scheme as the linear kernel): the FISTA
+    t-sequence rides as a [1, bn] row, and the per-sample reductions the
+    canvas layout cannot do directly (each sample owns a LANE SEGMENT of
+    ``cells`` lanes) run through the 0/1 membership matrix ``Mm``
+    [bn, L] on the MXU — one split 2-pass dot broadcasts the momentum
+    coefficient sample->lanes, another contracts the gradient-mapping
+    test <y - z+, z+ - z> lanes->sample (one-hot rows are exact in bf16,
+    so both are f32-grade).
     """
     Cx, kh, kw, Wp = shape_info
 
@@ -203,14 +230,28 @@ def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
         mx = refs.pop(0)[:]               # [1, L] decoder-crop mask
         mz = refs.pop(0)[:]               # [1, L] code-cell mask
         tcol = refs.pop(0)[:] if has_col else None   # [Cz, 1] alpha*lr
-        z_out_ref, zp_out_ref, delta_ref = refs
+        if restart:
+            # t rides EXPANDED to canvas lanes ([1, L], each sample's
+            # value broadcast over its cells): lane tiles must be
+            # 128-multiples, which a per-sample [1, bn] row is not
+            t = refs.pop(0)[:]            # [1, L] per-sample t (lagged)
+            mm = refs.pop(0)[:]           # [bn, L] membership, bf16
+            z_out_ref, zp_out_ref, t_out_ref, delta_ref = refs
+        else:
+            z_out_ref, zp_out_ref, delta_ref = refs
         z = z_ref[:]
         zp = zp_ref[:]
         x = x_ref[:]
         prox = soft_threshold_nonneg if nonneg else soft_threshold
 
         for s in range(steps):
-            y = z + scal_ref[s, 2] * (z - zp)
+            if restart:
+                # t is per-sample-constant across lanes, so the
+                # momentum coefficient needs no membership broadcast
+                t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) * 0.5
+                y = z + ((t - 1.0) / t_next) * (z - zp)
+            else:
+                y = z + scal_ref[s, 2] * (z - zp)
             # ---- decode: one MXU dot + per-tap lane rotates
             if split_float:
                 y_hi, y_lo = _split_bf16(y, emulate)
@@ -220,17 +261,20 @@ def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
                 U = _dot(_round_bf16(k1), _round_bf16(y))
             else:
                 U = _dot(k1, y.astype(k1.dtype))
-            # fold via GROUPED strided rotates: each (cx, ki) group of 8
-            # kj-rows rolls in one full-vreg op (row kj by ki*Wp + kj);
-            # the zero pad rows rotate garbage offsets into zeros
+            # fold via GROUPED strided rotates: each (cx, ki, g8)
+            # subgroup of 8 kj-rows rolls in one full-vreg op (row r by
+            # ki*Wp + 8*g8 + r); zero pad rows rotate garbage into zeros
+            G8 = _n_g8(kw)
             xh_rows = []
             for cx in range(Cx):
                 acc8 = None
                 for ki in range(kh):
-                    g = cx * kh + ki
-                    rolled = _strided_roll8(U[g * 8:(g + 1) * 8, :],
-                                            ki * Wp, U.shape[1])
-                    acc8 = rolled if acc8 is None else acc8 + rolled
+                    for g8 in range(G8):
+                        g = (cx * kh + ki) * G8 + g8
+                        rolled = _strided_roll8(U[g * 8:(g + 1) * 8, :],
+                                                ki * Wp + 8 * g8,
+                                                U.shape[1])
+                        acc8 = rolled if acc8 is None else acc8 + rolled
                 xh_rows.append(jnp.sum(acc8, axis=0, keepdims=True))
             xh = (jnp.concatenate(xh_rows, axis=0) if Cx > 1
                   else xh_rows[0])
@@ -244,8 +288,10 @@ def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
             for cx in range(Cx):
                 r8 = jnp.broadcast_to(resid[cx:cx + 1, :], (8, Lw))
                 for ki in range(kh):
-                    groups.append(_strided_roll8(
-                        r8, Lw - ki * Wp - (kw - 1), Lw))
+                    for g8 in range(G8):
+                        hi = min(kw, 8 * g8 + 8)
+                        groups.append(_strided_roll8(
+                            r8, Lw - ki * Wp - (hi - 1), Lw))
             R = (jnp.concatenate(groups, axis=0) if len(groups) > 1
                  else groups[0])
             if split_float:
@@ -261,11 +307,25 @@ def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
             z_new = prox(y - scal_ref[s, 0] * grad,
                          tcol if has_col else scal_ref[s, 1]) \
                 * scal_ref[s, 3] * mz
+            if restart:
+                # per-sample gradient-mapping test: reduce channels on
+                # the VPU, then lane segments -> samples -> lanes via
+                # the membership matrix (split 2-pass pairs keep the
+                # sign f32-grade; one-hot rows are exact in bf16)
+                p = jnp.sum((y - z_new) * (z_new - z), axis=0,
+                            keepdims=True)                     # [1, L]
+                p_hi, p_lo = _split_bf16(p, emulate)
+                rdot = _dot_nt(p_hi, mm) + _dot_nt(p_lo, mm)   # [1, bn]
+                r_hi, r_lo = _split_bf16(rdot, emulate)
+                rdot_l = _dot_nn(r_hi, mm) + _dot_nn(r_lo, mm)  # [1, L]
+                t = jnp.where(rdot_l > 0, 1.0, t_next)
             zp = z
             z = z_new
 
         z_out_ref[:] = z
         zp_out_ref[:] = zp
+        if restart:
+            t_out_ref[:] = t
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -281,20 +341,23 @@ def _make_conv_kernel(steps, split_float, shape_info, emulate=False,
 _VMEM_BUDGET = 56 * 1024 * 1024
 
 
-def _conv_tile_bytes(bn, Cz, Cx, rows, cells):
+def _conv_tile_bytes(bn, Cz, Cx, rows, cells, restart=False):
     """Per-tile VMEM model: 4 z-class canvas tiles (z, zp, z_out,
     zp_out) + x + U + R scratch, f32, double-buffered on the i/o.
-    ``rows`` is the 8-padded tap-matrix row count (Cx * kh * 8)."""
+    ``rows`` is the 8-padded tap-matrix row count (Cx * kh * 8);
+    restart adds the [bn, L] bf16 membership matrix."""
     L = bn * cells
     io = 2 * (4 * Cz * L + Cx * L) * 4
     scratch = 2 * rows * L * 4
-    return io + scratch
+    member = bn * L * 2 if restart else 0
+    return io + scratch + member
 
 
-def _pick_block_n_conv(N, Cz, Cx, rows, cells, requested):
+def _pick_block_n_conv(N, Cz, Cx, rows, cells, requested, restart=False):
     bn = min(requested, N)
     while bn > 1 and (N % bn != 0
-                      or _conv_tile_bytes(bn, Cz, Cx, rows, cells)
+                      or _conv_tile_bytes(bn, Cz, Cx, rows, cells,
+                                          restart)
                       > _VMEM_BUDGET):
         bn -= 1
     while N % bn:
@@ -315,10 +378,8 @@ def supports_fused_conv(x, z0, weight, stride, padding):
         return False
     N, Cz, Hz, Wz = z0.shape
     Cx, kh, kw = weight.shape[1], weight.shape[2], weight.shape[3]
-    if kw > 8:
-        return False       # one 8-sublane roll group per (cx, ki)
     _, _, cells = canvas_dims((Hz, Wz), (kh, kw))
-    rows = Cx * kh * 8
+    rows = Cx * kh * _n_g8(kw) * 8
     if rows > 1024:
         return False
     return _conv_tile_bytes(1, Cz, Cx, rows, cells) <= _VMEM_BUDGET
@@ -331,7 +392,7 @@ def supports_fused_conv(x, z0, weight, stride, padding):
 def fused_conv_fista_multistep(x_t, z_t, zp_t, weight, lrs, threshs, moms,
                                steps, shape_info, block_n=64,
                                interpret=False, kernel_precision="f32",
-                               nonneg=False):
+                               nonneg=False, t_vec=None):
     """``steps`` fused conv FISTA iterations in ONE kernel invocation.
 
     Operands are in canvas layout (see module docstring): ``x_t``
@@ -343,15 +404,22 @@ def fused_conv_fista_multistep(x_t, z_t, zp_t, weight, lrs, threshs, moms,
     length-``steps`` vector of alpha*lr scalars OR a [Cz, 1] per-channel
     threshold column (already * lr).
 
-    Returns ``(z_final, z_penultimate, delta)`` in canvas layout.
+    ``t_vec`` ([1, N*cells] — the per-sample t broadcast over each
+    sample's canvas cells, so lane tiles stay 128-aligned; or None)
+    switches on PER-SAMPLE adaptive-restart momentum: ``moms`` is
+    ignored and the O'Donoghue-Candes t-sequence is carried in-kernel
+    (lagged convention: t entering an iteration is t_{k-1}, init 0).
+
+    Returns ``(z_final, z_penultimate, delta)`` in canvas layout, with
+    the updated t-row inserted before ``delta`` when ``t_vec`` is given.
     """
     Cx, kh, kw, Wp, cells, padding, Hz, Wz = shape_info
-    assert kw <= 8, "one 8-sublane roll group per (cx, ki) tap row"
+    restart = t_vec is not None
     Cz = z_t.shape[0]
     L_total = z_t.shape[1]
     N = L_total // cells
-    rows = Cx * kh * 8          # 8-padded tap-matrix rows (_k_mats)
-    bn = _pick_block_n_conv(N, Cz, Cx, rows, cells, block_n)
+    rows = Cx * kh * _n_g8(kw) * 8   # 8-padded tap rows (_k_mats)
+    bn = _pick_block_n_conv(N, Cz, Cx, rows, cells, block_n, restart)
     grid = (N // bn,)
     L = bn * cells
 
@@ -402,7 +470,8 @@ def fused_conv_fista_multistep(x_t, z_t, zp_t, weight, lrs, threshs, moms,
 
     kernel = _make_conv_kernel(steps, kernel_precision == "f32",
                                (Cx, kh, kw, Wp), emulate=interpret,
-                               nonneg=nonneg, has_col=has_col)
+                               nonneg=nonneg, has_col=has_col,
+                               restart=restart)
 
     in_specs = [smem_in, tile_x, tile_z(), tile_z()] + k_specs \
         + [row_l(), row_l()]
@@ -410,14 +479,27 @@ def fused_conv_fista_multistep(x_t, z_t, zp_t, weight, lrs, threshs, moms,
     if has_col:
         in_specs.append(full((Cz, 1)))
         in_args.append(th_arr)
-    out_specs = [tile_z(), tile_z(),
-                 pl.BlockSpec((1, 1), lambda i: (0, 0),
-                              memory_space=pltpu.SMEM)]
+    out_specs = [tile_z(), tile_z()]
     out_shape = [jax.ShapeDtypeStruct((Cz, L_total), jnp.float32),
-                 jax.ShapeDtypeStruct((Cz, L_total), jnp.float32),
-                 jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+                 jax.ShapeDtypeStruct((Cz, L_total), jnp.float32)]
+    if restart:
+        # canvas-expanded per-sample t row + the lane-segment
+        # membership matrix (0/1 rows are exact in bf16; the same
+        # matrix serves every tile)
+        member = np.kron(np.eye(bn, dtype=np.float32),
+                         np.ones((1, cells), np.float32))
+        trow_tile = pl.BlockSpec((1, L), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [trow_tile, full((bn, L))]
+        in_args += [jnp.asarray(t_vec, jnp.float32),
+                    jnp.asarray(member, jnp.bfloat16)]
+        out_specs.append(trow_tile)
+        out_shape.append(jax.ShapeDtypeStruct((1, L_total), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
 
-    z_next, z_pen, delta = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -433,4 +515,8 @@ def fused_conv_fista_multistep(x_t, z_t, zp_t, weight, lrs, threshs, moms,
         interpret=interpret,
     )(*in_args)
 
+    if restart:
+        z_next, z_pen, t_new, delta = outs
+        return z_next, z_pen, t_new, delta[0, 0]
+    z_next, z_pen, delta = outs
     return z_next, z_pen, delta[0, 0]

@@ -48,6 +48,8 @@ def test_canvas_pack_roundtrip():
     (8, 2, 7, 9, 4, 2, 1, True, False),
     (8, 1, 7, 7, 3, 3, 0, False, True),
     (64, 1, 10, 10, 7, 7, 0, False, False),
+    (8, 1, 6, 8, 11, 11, 0, False, False),   # kw > 8: 2 roll subgroups
+    (8, 1, 5, 5, 3, 9, 1, False, False),     # kw = 9: ragged subgroup
 ])
 def test_kernel_matches_xla_steps(cz, cx, hz, wz, kh, kw, pad, nonneg,
                                   percol):
@@ -138,6 +140,58 @@ def test_solver_route_matches_xla(tol, kp, maxiter):
                                atol=tol_z)
     assert int(kb) >= int(ka) or int(kb) == maxiter
     assert int(kb) == int(ka)  # same budget/boundary at these sizes
+
+
+def test_kernel_restart_matches_xla_steps():
+    """S fused restart sub-steps == S explicit XLA restart steps: the
+    per-sample t-sequence (lagged, init 0) and the gradient-mapping
+    reset must track exactly through the membership-matrix reductions."""
+    rng = np.random.default_rng(9)
+    cz, cx, hz, wz, kh, kw = 8, 1, 9, 9, 3, 3
+    x, W, _ = _problem(9, 4, cz, cx, hz, wz, kh, kw)
+    z = jnp.asarray(rng.standard_normal((4, cz, hz, wz)), jnp.float32)
+    zp = z + 0.05 * jnp.asarray(rng.standard_normal(z.shape), jnp.float32)
+    lr, S = 0.04, 4
+    Hp, Wp, cells = canvas_dims((hz, wz), (kh, kw))
+    si = (cx, kh, kw, Wp, cells, 0, hz, wz)
+    t0 = jnp.asarray(rng.uniform(0.0, 3.0, (1, 4)), jnp.float32)
+    t0_l = jnp.repeat(t0, cells, axis=1)        # canvas-expanded
+
+    zf_t, zpen_t, t_new, _ = fused_conv_fista_multistep(
+        pack_images(x, (hz, wz), (kh, kw), 0), pack_codes(z, (kh, kw)),
+        pack_codes(zp, (kh, kw)), W, jnp.full((S,), lr),
+        jnp.full((S,), 0.1 * lr), jnp.zeros((S,)), steps=S,
+        shape_info=si, interpret=True, kernel_precision="f32",
+        t_vec=t0_l)
+    t_new = t_new[:, ::cells]                   # one value per sample
+    zf = np.asarray(unpack_codes(zf_t, 4, (hz, wz), (kh, kw)))
+
+    zc, zpc = z, zp
+    tv = t0.reshape(4, 1, 1, 1)
+    for _ in range(S):
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * tv * tv)) * 0.5
+        y = zc + ((tv - 1.0) / t_next) * (zc - zpc)
+        g = conv2d(conv_transpose2d(y, W) - x, W)
+        zn = soft_threshold(y - lr * g, 0.1 * lr)
+        rdot = jnp.sum((y - zn) * (zn - zc), axis=(1, 2, 3),
+                       keepdims=True)
+        tv = jnp.where(rdot > 0, 1.0, t_next)
+        zpc, zc = zc, zn
+    scale = max(1.0, float(jnp.abs(zc).max()))
+    np.testing.assert_allclose(zf, np.asarray(zc), atol=5e-5 * scale)
+    np.testing.assert_allclose(np.asarray(t_new).ravel(),
+                               np.asarray(tv).ravel(), rtol=1e-6)
+
+
+def test_solver_route_restart_matches_xla():
+    """ista_conv2d(restart=True, use_pallas=True) == the XLA restart
+    path end-to-end (t carried across fused blocks and phases)."""
+    x, W, z0 = _problem(13, 4, 16, 1, 10, 10, 5, 5)
+    kw = dict(maxiter=36, tol=0.0, restart=True, return_iters=True)
+    za, ka = ista_conv2d(x, z0, W, 0.1, use_pallas=False, **kw)
+    zb, kb = ista_conv2d(x, z0, W, 0.1, use_pallas=True, **kw)
+    assert int(kb) == int(ka) == 36
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(za), atol=1e-4)
 
 
 def test_solver_route_remainder_blocks():
