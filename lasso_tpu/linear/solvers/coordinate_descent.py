@@ -96,6 +96,39 @@ def coord_descent(x, W, z0=None, alpha=1.0, maxiter=1000, tol=1e-6,
 
     from lasso_tpu.ops.fused_cd import fused_cd_steps, supports_fused_cd
 
+    # Pad-and-mask onto the fused kernel's (K % 128, N % 8) grid when
+    # the problem is unaligned but the padded one fits (exactness:
+    # ops.common.pad_lasso_operands — zero atoms give b_k = 0, so
+    # shrink(b_k) - z_k = 0 and the greedy argmax never selects them;
+    # zero rows deactivate with dz = 0). The per-sample deactivation
+    # threshold tol * K is rescaled to the ORIGINAL K. verbose already
+    # forces the unfused path, so padding is skipped there.
+    if not verbose:
+        import jax as _jax
+        from lasso_tpu.ops.common import (pad_lasso_operands,
+                                          resolve_pallas)
+        _b_s = _jax.ShapeDtypeStruct((x.shape[0], W.shape[1]), x.dtype)
+        _pad = (None if supports_fused_cd(_b_s, W)
+                else pad_lasso_operands(x, z0, W, alpha))
+        if _pad is not None:
+            _b_p = _jax.ShapeDtypeStruct(
+                (_pad[0].shape[0], _pad[2].shape[1]), x.dtype)
+            if (supports_fused_cd(_b_p, _pad[2])
+                    and resolve_pallas(use_pallas, True)[0]):
+                x_p, z0_p, w_p, a_p, (N0, K0) = _pad
+                out = coord_descent(
+                    x_p, w_p, z0_p, alpha if a_p is None else a_p,
+                    maxiter=maxiter,
+                    tol=tol * K0 / w_p.shape[1],
+                    precision=precision, use_pallas=use_pallas,
+                    kernel_precision=kernel_precision,
+                    fuse_steps=fuse_steps, nonneg=nonneg, l2=l2,
+                    return_iters=return_iters)
+                if return_iters:
+                    z_u, it = out
+                    return z_u[:N0, :K0], it
+                return out[:N0, :K0]
+
     prec = get_precision(precision)
     input_dim, code_dim = W.shape
     batch_size = x.shape[0]

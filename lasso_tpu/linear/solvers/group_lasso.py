@@ -253,6 +253,50 @@ def group_ista(x, z0, weight, alpha=1.0, groups=None, group_weights=None,
             return z_u * a_col, k
         return out * a_col
 
+    # Pad-and-mask onto the fused kernel's lane grid when only alignment
+    # blocks it (exact: zero feature rows / batch rows as in
+    # ops.common.pad_lasso_operands; padded zero ATOMS are assigned to
+    # group 0, where they contribute exactly 0 to the group norm — the
+    # real coordinates' shrink scale is unchanged and the padded ones
+    # stay 0 under any multiplicative prox). tol is rescaled so the
+    # global numel * tol threshold keeps the ORIGINAL numel. verbose is
+    # excluded (the printed loss divides by the padded batch size).
+    if not verbose and groups is not None:
+        from lasso_tpu.ops.common import (pad_lasso_operands,
+                                          resolve_pallas)
+        from lasso_tpu.ops.fused_group import supports_fused_group_step
+        _k0, _d0, _ng0 = resolve_groups(groups, n_components)
+        _pad = (None if supports_fused_group_step(x, z0, weight, _ng0)
+                else pad_lasso_operands(x, z0, weight))
+        if (_pad is not None
+                and supports_fused_group_step(_pad[0], _pad[1], _pad[2],
+                                              _ng0)
+                and resolve_pallas(use_pallas, True)[0]):
+            x_p, z0_p, w_p, _, (N0, K0) = _pad
+            ids_p = np.zeros((w_p.shape[1],), np.int32)
+            ids_p[:K0] = (np.repeat(np.arange(_ng0, dtype=np.int32), _d0)
+                          if _k0 == "block" else np.asarray(_d0, np.int32))
+            l1_p = l1_alpha
+            if jnp.asarray(l1_alpha).ndim == 2:
+                l1_p = jnp.pad(jnp.asarray(l1_alpha),
+                               ((0, x_p.shape[0] - N0), (0, 0)),
+                               constant_values=1.0)
+            out = group_ista(
+                x_p, z0_p, w_p, alpha, groups=ids_p,
+                group_weights=group_weights, l1_alpha=l1_p, fast=fast,
+                lr=lr, maxiter=maxiter,
+                tol=tol * (N0 * K0) / z0_p.size,
+                power_iters=power_iters, precision=precision,
+                axis_name=axis_name, restart=restart,
+                use_pallas=use_pallas, fuse_steps=fuse_steps,
+                kernel_precision=kernel_precision,
+                mixed_tail=mixed_tail, mixed_tail_iters=mixed_tail_iters,
+                return_iters=return_iters)
+            if return_iters:
+                z_u, k = out
+                return z_u[:N0, :K0], k
+            return out[:N0, :K0]
+
     kind, data, n_groups = resolve_groups(groups, n_components)
     gprox = _make_group_prox(kind, data, n_groups, n_components,
                              group_weights)

@@ -294,6 +294,40 @@ def ista(x, z0, weight, alpha=1.0, fast=True, lr="auto", maxiter=10,
                                           fused_fista_step,
                                           supports_fused_step)
 
+    # Pad-and-mask onto the fused kernels' lane grid: when the problem is
+    # NOT lane-aligned (D=784 patches, K=1000 dictionaries, ragged N) but
+    # a zero-padded version fits the fused path, solve the padded problem
+    # and slice — exact, see ops.common.pad_lasso_operands. tol is
+    # rescaled so the global stopping threshold numel * tol keeps the
+    # ORIGINAL numel (padded rows/atoms contribute exactly 0 to delta).
+    # verbose is excluded only because the reference's printed loss
+    # divides by the (here padded) batch size.
+    if not (backtrack or per_sample_tol or verbose):
+        from lasso_tpu.ops.common import (pad_lasso_operands,
+                                          resolve_pallas)
+        _pad = (None if supports_fused_step(x, z0, weight)
+                else pad_lasso_operands(x, z0, weight, alpha))
+        if (_pad is not None
+                and supports_fused_step(_pad[0], _pad[1], _pad[2])
+                and resolve_pallas(use_pallas, True)[0]):
+            x_p, z0_p, w_p, a_p, (N0, K0) = _pad
+            out = ista(x_p, z0_p, w_p,
+                       alpha if a_p is None else a_p, fast=fast, lr=lr,
+                       maxiter=maxiter,
+                       tol=tol * (N0 * K0) / z0_p.size,
+                       power_iters=power_iters, precision=precision,
+                       use_pallas=use_pallas,
+                       kernel_precision=kernel_precision,
+                       fuse_steps=fuse_steps, mixed_tail=mixed_tail,
+                       mixed_tail_iters=mixed_tail_iters,
+                       axis_name=axis_name, restart=restart,
+                       nonneg=nonneg, l2=l2,
+                       return_iters=return_iters)
+            if return_iters:
+                z_u, k = out
+                return z_u[:N0, :K0], k
+            return out[:N0, :K0]
+
     prec = get_precision(precision)
     shrink = soft_threshold_nonneg if nonneg else soft_threshold
     if isinstance(lr, str):

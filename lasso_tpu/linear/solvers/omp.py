@@ -126,6 +126,30 @@ def orthogonal_matching_pursuit(x, weight, n_nonzero_coefs=None, tol=None,
     # default. verbose needs per-iteration host prints and an explicit
     # gram_jitter bypasses the kernel's own relative pivot floor, so
     # both route to the while_loop paths.
+    # Pad-and-mask onto the fused kernel's 128-aligned (D, K) grid when
+    # only alignment blocks it (exactness: zero feature rows leave every
+    # correlation/residual unchanged; zero atoms score |c_k| * invn_k =
+    # 0 exactly — even in bf16, a zero column's dot is exact — so the
+    # masked argmax never selects them and the [:, :K] slice-back is the
+    # identical greedy solve).
+    if (solver in ("auto", "fused") and not verbose and not gram_jitter
+            and not supports_fused_omp(N, D, K, T, x.dtype)):
+        Dp, Kp = -(-D // 128) * 128, -(-K // 128) * 128
+        if ((Dp, Kp) != (D, K)
+                and supports_fused_omp(N, Dp, Kp, T, x.dtype)
+                and resolve_pallas(use_pallas, True)[0]):
+            out = orthogonal_matching_pursuit(
+                jnp.pad(x, ((0, 0), (0, Dp - D))),
+                jnp.pad(weight, ((0, Dp - D), (0, Kp - K))),
+                n_nonzero_coefs=T, tol=tol, precision=precision,
+                solver=solver, cg_tol=cg_tol, use_pallas=use_pallas,
+                ws_fast=ws_fast, kernel_precision=kernel_precision,
+                return_iters=return_iters)
+            if return_iters:
+                z_u, it = out
+                return z_u[:, :K], it
+            return out[:, :K]
+
     fused_on, fused_interp = resolve_pallas(
         use_pallas, supports_fused_omp(N, D, K, T, x.dtype)
         and not verbose and not gram_jitter)
