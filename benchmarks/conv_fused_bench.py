@@ -6,6 +6,10 @@ Distinct inputs per repeat + forced readback (execution-cache honest),
 rep-0 discarded (fresh-compile spike gotcha, CLAUDE.md).
 
 Usage: python benchmarks/conv_fused_bench.py [--iters 200]
+       python benchmarks/conv_fused_bench.py --config rich
+       (``rich`` = the channel-rich 64x16x32x32 / 256-atom 5x5 config of
+       benchmarks/conv_precision_bench.py — exercises Cx>1 multi-channel
+       folds and a small per-invocation batch tile.)
 """
 
 import argparse
@@ -22,13 +26,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--config", choices=["headline", "rich"],
+                    default="headline")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from lasso_tpu.conv2d.ista import ista_conv2d
 
-    N, Cz, Cx, kh, kw = 256, 64, 1, 7, 7
+    if args.config == "rich":
+        N, Cz, Cx, kh, kw = 64, 256, 16, 5, 5
+    else:
+        N, Cz, Cx, kh, kw = 256, 64, 1, 7, 7
     H = W = 32
     Hz, Wz = H - kh + 1, W - kw + 1
     ALPHA = 0.1

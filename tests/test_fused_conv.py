@@ -50,6 +50,7 @@ def test_canvas_pack_roundtrip():
     (64, 1, 10, 10, 7, 7, 0, False, False),
     (8, 1, 6, 8, 11, 11, 0, False, False),   # kw > 8: 2 roll subgroups
     (8, 1, 5, 5, 3, 9, 1, False, False),     # kw = 9: ragged subgroup
+    (16, 8, 6, 6, 3, 3, 0, False, False),    # channel-rich input (Cx=8)
 ])
 def test_kernel_matches_xla_steps(cz, cx, hz, wz, kh, kw, pad, nonneg,
                                   percol):
