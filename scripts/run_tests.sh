@@ -31,7 +31,8 @@ shard tests/test_conv2d.py tests/test_conv_dict_learning.py \
       tests/test_conv_ops.py tests/test_coordinate_descent.py \
       tests/test_dict_learning.py tests/test_dict_learning_online.py \
       tests/test_elastic_net.py tests/test_fused_conv.py \
-      tests/test_fused_ista.py tests/test_fused_omp.py || rc=$?
+      tests/test_fused_ista.py tests/test_fused_omp.py \
+      tests/test_fused_padding.py || rc=$?
 shard tests/test_gpsr.py tests/test_group_lasso.py \
       tests/test_heavy_solvers.py tests/test_implicit.py \
       tests/test_implicit_conv.py tests/test_implicit_group.py \
