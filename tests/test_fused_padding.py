@@ -67,6 +67,21 @@ def test_ista_per_feature_alpha_row_padded(rng):
     np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_u), atol=5e-3)
 
 
+def test_ista_per_sample_alpha_vector_padded(rng):
+    # [N]-alpha composes by recursion: the homogeneity reduction fires
+    # first (row-rescaled alpha=1 problem), THEN the rescaled problem
+    # hits the pad-and-mask dispatch on its unaligned (N, D, K)
+    x, W = _problem(rng)
+    z0 = jnp.zeros((N, K), jnp.float32)
+    a = jnp.asarray(np.linspace(0.05, 0.3, N, dtype=np.float32))
+    z_f = ista(x, z0, W, a, maxiter=100, use_pallas=True)
+    z_u = ista(x, z0, W, a, maxiter=100, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_u), atol=5e-3)
+    a_np = np.asarray(a).reshape(N, 1)
+    assert _lasso_obj(x, W, z_f, a_np) <= _lasso_obj(x, W, z_u, a_np) * (
+        1 + 1e-4)
+
+
 def test_ista_padding_bitexact_and_invariant(rng):
     x, W = _problem(rng)
     z0 = jnp.zeros((N, K), jnp.float32)
