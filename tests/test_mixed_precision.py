@@ -297,3 +297,81 @@ def test_mixed_tail_iters_requires_mixed():
     x, W, z0 = _problem(1, 16, 128, 256, 0.1)
     with pytest.raises(ValueError, match="mixed_tail_iters"):
         ista(x, z0, W, 0.1, lr=0.08, maxiter=50, mixed_tail_iters=10)
+
+
+# ---------------------------------------------------------------------------
+# split_bregman kernel_precision (round 4): the dominant AtA_inv @ rhs
+# inner solve on bf16-grid operands, with an f32 outer-iteration tail.
+# Honest error model (CPU emulation via lax.reduce_precision, matching
+# TPU one-pass numerics up to dot ordering): bf16-only floors at
+# ~1e-2-class relative objective on small problems; the f32 tail
+# contracts that floor at the outer Bregman recursion's own linear rate,
+# so TAIL LENGTH sets the mixed floor — slower than FISTA's, which is
+# why split_bregman's default stays 'f32' and 'mixed' is a loose-
+# tolerance lever (docs/PERFORMANCE.md).
+# ---------------------------------------------------------------------------
+
+def _sb_problem(seed=0, n=32, d=64, k=128):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(
+        (rng.standard_normal((d, k)) / np.sqrt(d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    return A, y
+
+
+def _sb_obj(A, y, alpha, x):
+    x = np.asarray(x, np.float64)
+    A64 = np.asarray(A, np.float64)
+    y64 = np.asarray(y, np.float64)
+    return float(0.5 * np.sum((x @ A64.T - y64) ** 2)
+                 + alpha * np.sum(np.abs(x)))
+
+
+def test_split_bregman_mixed_gap_ordering():
+    """f32 <= mixed <= bf16 gaps at a fixed outer budget, and a longer
+    tail is monotonically (<=5% slack) more accurate."""
+    from lasso_tpu.linear.solvers.split_bregman import split_bregman
+    A, y = _sb_problem()
+    alpha = 0.1
+    with jax.enable_x64():
+        A64 = jnp.asarray(np.asarray(A), jnp.float64)
+        y64 = jnp.asarray(np.asarray(y), jnp.float64)
+        xs, _ = split_bregman(A64, y64, alpha=alpha, maxiter=3000, tol=0.0)
+    f_star = _sb_obj(A, y, alpha, xs)
+
+    def gap(**kw):
+        x, _ = split_bregman(A, y, alpha=alpha, maxiter=200, tol=0.0, **kw)
+        return (_sb_obj(A, y, alpha, x) - f_star) / abs(f_star)
+
+    g_f = gap()
+    g_b = gap(kernel_precision="bf16")
+    g_auto = gap(kernel_precision="mixed")          # tail = 25
+    g_50 = gap(kernel_precision="mixed", mixed_tail=50)
+    g_100 = gap(kernel_precision="mixed", mixed_tail=100)
+    assert g_f >= -1e-9 and g_f < 1e-4, g_f
+    assert g_auto <= g_b * 1.05 + 1e-9, (g_auto, g_b)
+    assert g_50 <= g_auto * 1.05 + 1e-9, (g_50, g_auto)
+    assert g_100 <= g_50 * 1.05 + 1e-9, (g_100, g_50)
+    # the bf16 phase must actually differ from f32 (emulation is live)
+    assert g_b > 10 * max(g_f, 1e-9), (g_b, g_f)
+
+
+def test_split_bregman_mixed_full_tail_equals_f32():
+    """mixed with tail == maxiter runs every outer iteration in f32 and
+    must match the f32 run bit-for-bit (phase plumbing is exact)."""
+    from lasso_tpu.linear.solvers.split_bregman import split_bregman
+    A, y = _sb_problem(3)
+    x_f, it_f = split_bregman(A, y, alpha=0.1, maxiter=30, tol=0.0)
+    x_m, it_m = split_bregman(A, y, alpha=0.1, maxiter=30, tol=0.0,
+                              kernel_precision="mixed", mixed_tail=30)
+    assert int(it_f) == int(it_m) == 30
+    np.testing.assert_array_equal(np.asarray(x_f), np.asarray(x_m))
+
+
+def test_split_bregman_kernel_precision_validation():
+    from lasso_tpu.linear.solvers.split_bregman import split_bregman
+    A, y = _sb_problem(5)
+    with pytest.raises(ValueError, match="kernel_precision"):
+        split_bregman(A, y, kernel_precision="fp8")
+    with pytest.raises(ValueError, match="mixed_tail"):
+        split_bregman(A, y, kernel_precision="mixed", mixed_tail=0)
