@@ -16,7 +16,7 @@ from jax import lax
 
 from lasso_tpu.conv2d.lip_const import lip_bound_conv2d
 from lasso_tpu.conv2d.ops import conv2d, conv_transpose2d
-from lasso_tpu.ops.fused_ista import _round_bf16
+from lasso_tpu.ops.precision import round_bf16 as _round_bf16
 from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
 

@@ -137,6 +137,18 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
       ``cg_maxiter`` (default ``min(2 D, 512)``) control the inner
       solve; at their defaults the two paths agree to ~1e-5 relative
       objective (test_heavy_solvers.py pins it).
+
+      ``cg_rtol='forcing'`` enables an INEXACT-NEWTON forcing sequence
+      (Dembo-Eisenstat-Steihaug): each Newton iteration's inner
+      relative-residual target is ``clip(0.1 * gap, 1e-7, 1e-2)`` where
+      ``gap`` is the current batch-mean normalized duality gap — loose
+      inner solves while far from the central path (where an exact
+      Newton direction is wasted anyway), tightening geometrically as
+      the gap contracts. This is what makes 'mehrotra' affordable at
+      scale with CG: the predictor+corrector pair shares the forcing
+      target, so early iterations cost a fraction of a fixed-rtol
+      solve and terminal accuracy is unchanged (the final iterations
+      run at the tight floor).
     * ``'auto'`` — 'cholesky' while the [B, D, D] build stays under
       1 GB, 'cg' beyond (the headline-scale default).
 
@@ -211,6 +223,10 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                          f"got {kkt_solver!r}")
     if cg_maxiter is None:
         cg_maxiter = min(2 * input_size, 512)
+    cg_forcing = isinstance(cg_rtol, str)
+    if cg_forcing and cg_rtol != "forcing":
+        raise ValueError(f"cg_rtol must be a float or 'forcing', got "
+                         f"{cg_rtol!r}")
 
     def batch_mean(v):
         """Mean over the (possibly sharded) global batch."""
@@ -236,6 +252,16 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
         # Newton directions (ip.py:165-179)
         s_inv = _general_inverse(s, eps)
         d = s_inv * z                                            # [B, 2K]
+        if kkt_solver == "cg" and cg_forcing:
+            # inexact-Newton forcing: the inner target tracks the
+            # CURRENT normalized duality gap (see docstring)
+            gap_cur = batch_mean(
+                jnp.sum(z * s, axis=1)
+                / (1 + jnp.linalg.norm(z, axis=1)
+                   * jnp.linalg.norm(lmbda, axis=1)))
+            rtol_k = jnp.clip(0.1 * gap_cur, 1e-7, 1e-2)
+        else:
+            rtol_k = cg_rtol
         if kkt_solver == "cholesky":
             # M = W diag(d) W^T + I per sample: [B, D, D] — built ONCE
             # per iteration (both Mehrotra solves share it)
@@ -252,7 +278,7 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                 d_l = batch_cholesky_solve(rhs, M)               # [B, D]
             else:
                 d_l = _normal_cg(W, d, rhs, warm,
-                                 cg_maxiter, cg_rtol, prec)      # [B, D]
+                                 cg_maxiter, rtol_k, prec)       # [B, D]
             d_sl = ra - jnp.matmul(d_l, W, precision=prec)
             d_zc = s_inv * (rc_vec - z * d_sl)
             return d_zc, d_l, d_sl

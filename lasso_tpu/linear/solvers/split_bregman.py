@@ -18,7 +18,7 @@ from jax import lax
 
 from lasso_tpu.config import get_precision
 from lasso_tpu.linalg.basic import cholesky_inverse
-from lasso_tpu.ops.fused_ista import _round_bf16
+from lasso_tpu.ops.precision import round_bf16 as _round_bf16
 from lasso_tpu.ops.shrink import soft_threshold
 
 
@@ -36,8 +36,8 @@ def split_bregman(A, y, x0=None, alpha=1.0, lambd=1.0, maxiter=20,
     ``kernel_precision`` (TPU extension): 'f32' (default, reference
     parity — every matmul at ``lax.Precision.HIGHEST``), 'bf16' (the
     dominant ``AtA_inv @ rhs`` inner solve on bf16-grid operands with
-    one MXU pass — split Bregman is compute-bound at scale, so this is
-    a near-pure MXU-pass win), or 'mixed' (bf16 bulk, then the last
+    one MXU pass; measured throughput vs f32 in docs/PERFORMANCE.md),
+    or 'mixed' (bf16 bulk, then the last
     ``mixed_tail`` *outer* iterations re-polished in f32; 'auto' tail =
     max(1, maxiter // 8)). The outer Bregman recursion is a contraction
     toward the L1 fixed point, so the f32 tail removes the bf16 floor
@@ -70,6 +70,10 @@ def split_bregman(A, y, x0=None, alpha=1.0, lambd=1.0, maxiter=20,
     if kernel_precision not in ("f32", "bf16", "mixed"):
         raise ValueError(f"kernel_precision must be 'f32', 'bf16' or "
                          f"'mixed', got {kernel_precision!r}")
+    if mixed_tail != "auto" and kernel_precision != "mixed":
+        # same contract as ista(mixed_tail_iters=...): a tail without
+        # 'mixed' would be silently ignored
+        raise ValueError("mixed_tail requires kernel_precision='mixed'")
     if kernel_precision == "mixed":
         if mixed_tail == "auto":
             tail = max(1, maxiter // 8)

@@ -29,7 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.fused_ista import _dot_nn, _split_bf16_xla
+from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
+                                     split_bf16_xla as _split_bf16_xla)
 from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
 

@@ -46,9 +46,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.fused_ista import (_dot_nn, _dot_nt, _round_bf16,
-                                      _split_bf16, _split_bf16_xla,
-                                      _pick_block_n)
+from lasso_tpu.ops.fused_ista import _pick_block_n
+from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
+                                     dot_nt as _dot_nt,
+                                     round_bf16 as _round_bf16,
+                                     split_bf16 as _split_bf16,
+                                     split_bf16_xla as _split_bf16_xla)
 from lasso_tpu.ops.shrink import soft_threshold
 
 

@@ -43,73 +43,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
+                                     dot_nt as _dot_nt,
+                                     round_bf16 as _round_bf16,
+                                     split_bf16 as _split_bf16,
+                                     split_bf16_xla as _split_bf16_xla)
 from lasso_tpu.ops.shrink import (soft_threshold,
                                   soft_threshold_nonneg)
-
-
-def _split_bf16(a, emulate=False):
-    """Split f32 into bf16 high + bf16 residual parts (Mosaic/in-kernel).
-
-    Plain dtype casts: Mosaic lowers these as real conversions. Do NOT use
-    this variant in XLA-land (see :func:`_split_bf16_xla`).
-
-    ``emulate=True`` (interpret mode only): the same split via
-    ``lax.reduce_precision``, which XLA CPU cannot elide — the parts stay
-    f32-dtyped but carry bf16-grid values (see :func:`_round_bf16`).
-    """
-    if emulate:
-        hi = _round_bf16(a)
-        lo = _round_bf16(a - hi)
-        return hi, lo
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _split_bf16_xla(a):
-    """Split f32 into bf16 high + residual parts, safe under XLA.
-
-    Under ``--xla_allow_excess_precision`` XLA elides f32->bf16->f32
-    convert chains, which silently zeroes the residual term and degrades
-    the scheme to plain bf16 (observed on v5e). ``lax.reduce_precision``
-    is an explicit rounding op the compiler must honor (but which Mosaic
-    cannot lower — hence the two variants).
-    """
-    a_hi = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
-    lo = jax.lax.reduce_precision(a - a_hi, exponent_bits=8, mantissa_bits=7)
-    return a_hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
-
-
-def _dot_nt(a, b):
-    """a[M, K] . b[N, K]^T -> [M, N], bf16 inputs, f32 accumulate."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _dot_nn(a, b):
-    """a[M, K] . b[K, N] -> [M, N], bf16 inputs, f32 accumulate."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _round_bf16(a):
-    """Round f32 values onto the bf16 grid, keeping f32 dtype.
-
-    Interpret-mode TPU-numerics emulation: on real hardware Mosaic's
-    DEFAULT dot precision truncates f32 dot operands to one bf16 pass
-    (f32 accumulate). In interpret mode the same dot runs through XLA
-    CPU at full f32 — and plain ``astype(bfloat16)`` round-trips are
-    ELIDED under XLA's default excess-precision rules — so without this
-    the 'bf16' and 'f32' kernel modes execute identical f32 arithmetic
-    on CPU and precision tests validate nothing. ``lax.reduce_precision``
-    is an explicit rounding op the compiler must honor; applying it to
-    dot operands reproduces MXU semantics (bf16-rounded operands, f32
-    accumulate) up to dot ordering. Mosaic cannot lower
-    reduce_precision, so this path is only built when ``interpret``.
-    """
-    return jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
 
 
 def _epilogue(scal_ref, y, z, grad, z_out_ref, delta_ref, nonneg=False,

@@ -53,8 +53,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lasso_tpu.ops.fused_ista import (_dot_nn, _round_bf16, _split_bf16,
-                                      _split_bf16_xla)
+from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
+                                     round_bf16 as _round_bf16,
+                                     split_bf16 as _split_bf16,
+                                     split_bf16_xla as _split_bf16_xla)
 
 
 def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False):

@@ -375,3 +375,9 @@ def test_split_bregman_kernel_precision_validation():
         split_bregman(A, y, kernel_precision="fp8")
     with pytest.raises(ValueError, match="mixed_tail"):
         split_bregman(A, y, kernel_precision="mixed", mixed_tail=0)
+    # a tail without 'mixed' would be silently ignored -> error (same
+    # contract as ista(mixed_tail_iters=...))
+    with pytest.raises(ValueError, match="mixed_tail"):
+        split_bregman(A, y, mixed_tail=5)
+    with pytest.raises(ValueError, match="mixed_tail"):
+        split_bregman(A, y, kernel_precision="bf16", mixed_tail=5)
