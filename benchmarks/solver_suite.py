@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--alpha", type=float, default=0.2)
     ap.add_argument("--reference", action="store_true")
+    ap.add_argument("--sb-precision", action="store_true",
+                    help="also time split-bregman kernel_precision="
+                         "'bf16'/'mixed' (the round-4 extension)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated algorithm subset")
     args = ap.parse_args()
 
     import jax
@@ -102,10 +107,22 @@ def main():
             return None
         return int(k)
 
-    for algo, kw in CONFIGS.items():
+    items = list(CONFIGS.items())
+    if args.sb_precision:
+        items += [("split-bregman[bf16]",
+                   dict(CONFIGS["split-bregman"], kernel_precision="bf16")),
+                  ("split-bregman[mixed]",
+                   dict(CONFIGS["split-bregman"], kernel_precision="mixed"))]
+    if args.only:
+        keep = set(args.only.split(","))
+        items = [(a, kw) for a, kw in items
+                 if a in keep or a.split("[")[0] in keep]
+
+    for algo, kw in items:
+        base_algo = algo.split("[")[0]
         try:
             run = jax.jit(partial(sparse_encode, alpha=args.alpha,
-                                  algorithm=algo, **kw))
+                                  algorithm=base_algo, **kw))
             out = run(xs[0], W)
             z = out[0] if isinstance(out, tuple) else out
             jax.block_until_ready(z)
@@ -117,17 +134,17 @@ def main():
                 float(z[0, 0])
                 ts.append(time.perf_counter() - t0)
             z_np = np.asarray(z)
-            n_it = executed_iters(algo, xs[-1], dict(kw))
+            n_it = executed_iters(base_algo, xs[-1], dict(kw))
             rec = {
                 "system": f"lasso_tpu[{jax.default_backend()}]",
                 "algorithm": algo,
                 "config": f"{args.n}x({args.d}->{args.k})",
                 "seconds": round(min(ts), 4),
             }
-            if algo == "omp":
+            if base_algo == "omp":
                 rec["rss_per_sample"] = round(float(np.mean(np.sum(
                     (z_np @ W_np.T - xs_np[-1]) ** 2, axis=1))), 4)
-            elif algo == "group-ista":
+            elif base_algo == "group-ista":
                 from lasso_tpu.linear.solvers import group_lasso_objective
                 rec["group_objective"] = round(float(group_lasso_objective(
                     jnp.asarray(xs_np[-1]), W, jnp.asarray(z_np),

@@ -48,10 +48,12 @@ def _ista_conv2d_fused(x, z0, weight, alpha, padding, maxiter, lr,
     shape_info = (Cx, kh, kw, Wp, cells, pad, Hz, Wz)
 
     if fuse_steps == "auto":
-        S = next((s for s in range(min(16, maxiter), 0, -1)
+        from lasso_tpu.ops.fused_conv import max_fuse_steps_conv
+        s_cap = min(16, max_fuse_steps_conv(weight))
+        S = next((s for s in range(min(s_cap, maxiter), 0, -1)
                   if maxiter % s == 0), 1)
-        if S < 4:
-            S = min(8, maxiter)
+        if S < 4 <= s_cap:
+            S = min(8, maxiter, s_cap)
     else:
         S = max(1, int(fuse_steps))
     S = min(S, maxiter)

@@ -368,9 +368,35 @@ def _pick_block_n_conv(N, Cz, Cx, rows, cells, requested, restart=False):
     return bn
 
 
+def max_fuse_steps_conv(weight):
+    """Cap on iterations fused per invocation, by tap-row count.
+
+    The kernel body unrolls ``2 * Cx * kh * ceil(kw/8)`` lane rotates
+    per fused iteration; channel-rich dictionaries (Cx >= 16, 7x7 ->
+    1792 tap rows) make the Mosaic program large enough that compile
+    time, not VMEM, becomes the limit. Capping S so that
+    ``S * rows <= 8192`` keeps the unrolled body bounded while leaving
+    the headline configs (rows <= 640) at the full S = 16.
+    """
+    Cx, kh, kw = weight.shape[1], weight.shape[2], weight.shape[3]
+    rows = Cx * kh * _n_g8(kw) * 8
+    return max(1, 8192 // rows)
+
+
 def supports_fused_conv(x, z0, weight, stride, padding):
     """Fast-path predicate: stride 1 (any padding), f32, and at least a
-    1-sample tile within the VMEM budget."""
+    1-sample tile within the VMEM budget.
+
+    The VMEM tile model (U/R scratch is ``2 * rows * L`` f32) is the
+    real gate for channel-rich dictionaries; the ``rows <= 4096``
+    pre-check only excludes degenerate geometries where even a 1-sample
+    tile's tap matrices would crowd out the canvas (a 4096-row fold is
+    ~32 MB of scratch per sample at 32x32). Round 4's ``rows <= 1024``
+    hard gate silently dropped Cx >= 16 7x7 dictionaries — exactly the
+    conv dict-learning regime — onto the ~1.6-1.9x slower XLA path;
+    round 5 lifts it and instead caps the fused step count
+    (:func:`max_fuse_steps_conv`) to bound compile time.
+    """
     from lasso_tpu.conv2d.ops import _pair
     if _pair(stride) != (1, 1):
         return False
@@ -383,7 +409,7 @@ def supports_fused_conv(x, z0, weight, stride, padding):
     Cx, kh, kw = weight.shape[1], weight.shape[2], weight.shape[3]
     _, _, cells = canvas_dims((Hz, Wz), (kh, kw))
     rows = Cx * kh * _n_g8(kw) * 8
-    if rows > 1024:
+    if rows > 4096:
         return False
     return _conv_tile_bytes(1, Cz, Cx, rows, cells) <= _VMEM_BUDGET
 

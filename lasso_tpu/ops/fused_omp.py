@@ -59,7 +59,30 @@ from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
                                      split_bf16_xla as _split_bf16_xla)
 
 
-def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False):
+def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False, gs="cgs2",
+                     profile=None):
+    """Kernel body builder.
+
+    ``gs`` selects the orthogonalization scheme:
+
+    * ``'cgs2'`` (default) — classical Gram-Schmidt with one
+      reorthogonalization pass ("twice is enough", Giraud et al. 2005):
+      ALL T projection coefficients are computed in two bulk
+      [T, D, bn] passes over the resident Q stack. No sequential
+      t-dependency — the VPU runs throughput-bound instead of
+      latency-bound on a T-step dependent chain. Numerically CGS2's
+      orthogonality error is O(eps) like MGS's (the single-pass CGS
+      O(eps * kappa^2) failure mode is what the second pass removes).
+    * ``'mgs'`` — modified Gram-Schmidt, one projection per resident
+      basis vector in a T-step ``fori_loop`` chain (the round-4
+      formulation; kept as the comparison/fallback path).
+
+    ``profile`` (None | 'no_gs' | 'select_only') builds TIMING variants
+    for the roofline accounting (benchmarks/omp_roofline.py): 'no_gs'
+    skips the orthogonalization work, 'select_only' additionally skips
+    the atom gather + residual update. Their outputs are wrong by
+    construction — never expose them through the solver API.
+    """
     def kernel(scal_ref, x_ref, *refs):
         refs = list(refs)
         if split_float:
@@ -105,21 +128,46 @@ def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False):
             kstar = jnp.where(act > 0, kstar, 0)
             idx_ref[pl.ds(k, 1), :] = kstar
             valid_ref[pl.ds(k, 1), :] = act
+            if profile == "select_only":
+                # timing variant: selection dot only (output is wrong)
+                r_s[pl.ds(k, 1), :, :] = jnp.zeros((1, Tp, bn),
+                                                   jnp.float32)
+                return (r, sel, d, act)
             # --- one-hot MXU gather of the chosen atoms (2-pass split)
             ohq = _round_bf16(oh) if emulate else oh.astype(jnp.bfloat16)
             w = _dot_nn(w_hi, ohq) + _dot_nn(w_lo, ohq)     # [D, bn]
             w0n = jnp.sum(w * w, axis=0, keepdims=True)     # [1, bn]
-            # --- MGS against the resident Q stack (rows >= k are zero)
-            def proj(t, c2):
-                wv, P = c2
-                qt = q_s[pl.ds(t, 1), :, :].reshape(D, bn)
-                coef = jnp.sum(qt * wv, axis=0, keepdims=True)
-                wv = wv - coef * qt
-                P = P + (rowsT == t).astype(jnp.float32) * coef
-                return (wv, P)
+            # --- orthogonalize against the resident Q stack (rows >= k
+            # are zero, so their coefficients vanish without masking)
+            if profile == "no_gs":
+                P = jnp.zeros((Tp, bn), jnp.float32)
+            elif gs == "cgs2":
+                # classical GS, two bulk passes (see builder docstring):
+                # every pass is one [T, D, bn] multiply + sublane
+                # reduction over D — throughput-bound VPU work with no
+                # t-chain; coefficients accumulate exactly (c = c1 + c2)
+                qs = q_s[...]                               # [T, D, bn]
+                c1 = jnp.sum(qs * w[None, :, :], axis=1)    # [T, bn]
+                w = w - jnp.sum(c1[:, None, :] * qs, axis=0)
+                c2 = jnp.sum(qs * w[None, :, :], axis=1)
+                w = w - jnp.sum(c2[:, None, :] * qs, axis=0)
+                coef = c1 + c2
+                P = (coef if Tp == T else
+                     jnp.concatenate(
+                         [coef, jnp.zeros((Tp - T, bn), jnp.float32)],
+                         axis=0))
+            else:
+                def proj(t, c2):
+                    wv, Pv = c2
+                    qt = q_s[pl.ds(t, 1), :, :].reshape(D, bn)
+                    cf = jnp.sum(qt * wv, axis=0, keepdims=True)
+                    wv = wv - cf * qt
+                    Pv = Pv + (rowsT == t).astype(jnp.float32) * cf
+                    return (wv, Pv)
 
-            w, P = lax.fori_loop(0, T, proj,
-                                 (w, jnp.zeros((Tp, bn), jnp.float32)))
+                w, P = lax.fori_loop(0, T, proj,
+                                     (w, jnp.zeros((Tp, bn),
+                                                   jnp.float32)))
             nrm2 = jnp.sum(w * w, axis=0, keepdims=True)
             # relative pivot floor: a linearly-dependent selection
             # (duplicated atom on a degenerate dictionary) would give
@@ -167,10 +215,11 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def _omp_tile_bytes(T, Tp, D, K, bn):
-    """VMEM model: Q + R scratch, both W split orientations (bf16),
-    the x tile, [K, bn]-class selection temporaries (c, score, sel,
-    iota), and [D, bn]-class vectors (r, w, splits)."""
-    return (T * D * bn * 4 + T * Tp * bn * 4
+    """VMEM model: Q + R scratch plus one [T, D, bn]-class CGS2 bulk
+    temporary, both W split orientations (bf16), the x tile, [K, bn]-
+    class selection temporaries (c, score, sel, iota), and [D, bn]-
+    class vectors (r, w, splits)."""
+    return (2 * T * D * bn * 4 + T * Tp * bn * 4
             + 2 * 2 * K * D * 2
             + 5 * K * bn * 4
             + 6 * D * bn * 4)
@@ -186,9 +235,10 @@ def supports_fused_omp(N, D, K, T, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("T", "interpret", "kernel_precision"))
+                   static_argnames=("T", "interpret", "kernel_precision",
+                                    "gs", "profile"))
 def fused_omp_solve(x, weight, T, tol=None, interpret=False,
-                    kernel_precision="f32"):
+                    kernel_precision="f32", gs="cgs2", profile=None):
     """Whole-solve fused OMP: greedy T-atom selection + LS fit in one
     kernel invocation per 128-sample tile.
 
@@ -196,6 +246,11 @@ def fused_omp_solve(x, weight, T, tol=None, interpret=False,
     [N, T]: per-sample support indices, slot validity (False once the
     ``tol`` residual stop froze the sample), and the LS coefficients on
     the support (f32-grade vs the solver's exact-Cholesky paths).
+
+    ``gs``: 'cgs2' (default — bulk two-pass classical Gram-Schmidt,
+    throughput-bound) or 'mgs' (the round-4 sequential chain); both are
+    f32-grade, see :func:`_make_omp_kernel`. ``profile`` builds
+    wrong-by-construction timing variants for the roofline bench only.
     """
     N, D = x.shape
     K = weight.shape[1]
@@ -236,7 +291,7 @@ def fused_omp_solve(x, weight, T, tol=None, interpret=False,
 
     kernel = _make_omp_kernel(T, Tp, D, K,
                               kernel_precision == "f32",
-                              emulate=interpret)
+                              emulate=interpret, gs=gs, profile=profile)
 
     idx_t, valid_t, z_t = pl.pallas_call(
         kernel,

@@ -51,6 +51,7 @@ def test_canvas_pack_roundtrip():
     (8, 1, 6, 8, 11, 11, 0, False, False),   # kw > 8: 2 roll subgroups
     (8, 1, 5, 5, 3, 9, 1, False, False),     # kw = 9: ragged subgroup
     (16, 8, 6, 6, 3, 3, 0, False, False),    # channel-rich input (Cx=8)
+    (8, 32, 4, 4, 7, 7, 0, False, False),    # rows=1792 > old 1024 gate
 ])
 def test_kernel_matches_xla_steps(cz, cx, hz, wz, kh, kw, pad, nonneg,
                                   percol):
@@ -213,3 +214,25 @@ def test_supports_predicate():
     assert not supports_fused_conv(x, z0, W, 2, 0)       # stride
     assert not supports_fused_conv(
         x.astype(jnp.bfloat16), z0, W, 1, 0)             # dtype
+    # channel-rich 7x7 (rows = 32*7*8 = 1792): supported since round 5
+    # (the old rows <= 1024 hard gate silently dropped it to XLA); the
+    # fused step count is capped instead to bound compile time
+    from lasso_tpu.ops.fused_conv import max_fuse_steps_conv
+    xr, Wr, zr = _problem(2, 2, 8, 32, 6, 6, 7, 7)
+    assert supports_fused_conv(xr, zr, Wr, 1, 0)
+    assert max_fuse_steps_conv(Wr) == 4                  # 8192 // 1792
+    assert max_fuse_steps_conv(W) >= 16                  # small-row
+    # dictionaries are uncapped (the solver's own <= 16 divisor search
+    # is then the binding limit)
+
+
+def test_solver_route_channel_rich_caps_fuse_steps():
+    """A rows > 1024 dictionary rides the fused path (round-5 gate lift)
+    with the auto step count capped, and matches the XLA path."""
+    x, W, z0 = _problem(7, 2, 8, 32, 4, 4, 7, 7, wscale=0.05)
+    za, ka = ista_conv2d(x, z0, W, 0.05, maxiter=8, tol=0.0,
+                         use_pallas=False, return_iters=True)
+    zb, kb = ista_conv2d(x, z0, W, 0.05, maxiter=8, tol=0.0,
+                         use_pallas=True, return_iters=True)
+    assert int(ka) == int(kb) == 8
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(za), atol=5e-5)

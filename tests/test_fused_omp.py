@@ -113,13 +113,24 @@ def test_fused_zero_rows_and_kernel_outputs():
 
 
 def test_fused_fallback_warns():
+    # unaligned D/K no longer warns: the round-4 pad-and-mask dispatch
+    # zero-pads onto the 128-lane grid and runs the fused kernel exactly
     x, W = _problem(2, 8, 64, 96)               # D, K not 128-aligned
-    with pytest.warns(UserWarning, match="fused"):
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
         z = orthogonal_matching_pursuit(x, W, 4, solver="fused",
                                         use_pallas=True)
     za = orthogonal_matching_pursuit(x, W, 4, solver="chol-full",
                                      use_pallas=False)
     np.testing.assert_allclose(np.asarray(z), np.asarray(za), atol=1e-4)
+    # a genuinely kernel-incompatible request (explicit gram_jitter
+    # bypasses the kernel's pivot-floor policy) still warns + falls back
+    with pytest.warns(UserWarning, match="fused"):
+        zj = orthogonal_matching_pursuit(x, W, 4, solver="fused",
+                                         use_pallas=True,
+                                         gram_jitter=1e-8)
+    np.testing.assert_allclose(np.asarray(zj), np.asarray(za), atol=1e-4)
 
 
 def test_fused_bf16_selection_still_solves():
@@ -134,3 +145,28 @@ def test_fused_bf16_selection_still_solves():
     # near-equal residuals even where bf16 scores flip a selection
     np.testing.assert_allclose(_rss(x, zb, W), _rss(x, za, W),
                                rtol=5e-2, atol=1e-4)
+
+
+def test_cgs2_matches_mgs():
+    """gs='cgs2' (round-5 default: bulk two-pass classical GS) selects
+    the same supports and reaches the same LS fit as the round-4
+    sequential MGS chain — CGS2's reorthogonalization pass restores
+    MGS-grade orthogonality (Giraud et al. 2005)."""
+    from lasso_tpu.ops.fused_omp import fused_omp_solve
+    x, W = _problem(99, 64, 128, 256)
+    ia, va, za = fused_omp_solve(x, W, 12, interpret=True, gs="mgs")
+    ib, vb, zb = fused_omp_solve(x, W, 12, interpret=True, gs="cgs2")
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    same = (np.asarray(ia) == np.asarray(ib)).all(axis=1)
+    # f32 greedy ties may flip an occasional row; fits must still agree
+    assert same.mean() > 0.9
+    ra = _rss(x, _scatter(ia, za, 256), W)
+    rb = _rss(x, _scatter(ib, zb, 256), W)
+    np.testing.assert_allclose(rb, ra, rtol=1e-4, atol=1e-5)
+
+
+def _scatter(idx, z_s, K):
+    import jax.numpy as jnp
+    n = idx.shape[0]
+    return jnp.zeros((n, K), z_s.dtype).at[
+        jnp.arange(n)[:, None], idx].add(z_s)

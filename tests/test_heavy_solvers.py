@@ -275,6 +275,45 @@ def test_interior_point_mehrotra_nonfinite_guard(rng):
     assert np.isfinite(np.asarray(z)).all()
 
 
+def test_interior_point_cg_forcing_sequence(rng):
+    """cg_rtol='forcing' (inexact Newton, round 5): the gap-coupled
+    inner tolerance must reach the same terminal gap class as a tight
+    fixed rtol — loose early solves cannot cost terminal accuracy
+    because the final iterations run at the tightened floor."""
+    import jax
+    from lasso_tpu.linalg import lipschitz_constant
+    from lasso_tpu.linear.solvers import ista
+
+    x_np = rng.standard_normal((64, 32))
+    W_np = rng.standard_normal((32, 128))
+    W_np /= np.linalg.norm(W_np, axis=0, keepdims=True)
+    alpha = 0.2
+    with jax.enable_x64():
+        x, W = jnp.asarray(x_np), jnp.asarray(W_np)
+        L = lipschitz_constant(W)
+        z_star = ista(x, jnp.zeros((64, 128)), W, alpha, lr=float(1 / L),
+                      maxiter=30000, tol=1e-15, use_pallas=False)
+        f_star = lasso_objective(x, W, z_star, alpha)
+
+        def gap_at(sched, **kw):
+            z, _, k = interior_point(x, W, alpha=alpha, maxiter=12,
+                                     tol=1e-12, return_iters=True,
+                                     barrier_schedule=sched,
+                                     kkt_solver="cg", **kw)
+            return (lasso_objective(x, W, z, alpha) - f_star) \
+                / abs(f_star)
+
+        for sched in ("mehrotra", "adaptive"):
+            g_forcing = gap_at(sched, cg_rtol="forcing", cg_maxiter=2000)
+            g_fixed = gap_at(sched, cg_rtol=1e-10, cg_maxiter=2000)
+            assert g_forcing < 1e-5, (sched, g_forcing)
+            assert g_forcing < 10 * max(g_fixed, 1e-9), (sched, g_forcing,
+                                                         g_fixed)
+    with pytest.raises(ValueError, match="cg_rtol"):
+        interior_point(x_np.astype(np.float32), W_np.astype(np.float32),
+                       alpha=alpha, kkt_solver="cg", cg_rtol="bogus")
+
+
 def test_interior_point_cg_matches_cholesky(fista_solution):
     """The matrix-free normal-equations CG path (kkt_solver='cg') must
     reach the same solution quality as the reference-style [B,D,D]
