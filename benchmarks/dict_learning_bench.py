@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--em-steps", type=int, default=10)
     ap.add_argument("--solver-iters", type=int, default=50)
+    ap.add_argument("--patches", action="store_true",
+                    help="BASELINE.md row 4: unit-norm dict learning on "
+                         "Omniglot-like 8x8 image patches (native patch "
+                         "pipeline) instead of gaussian data")
     args = ap.parse_args()
 
     import jax
@@ -34,8 +38,27 @@ def main():
     from lasso_tpu.linear import dict_learning
 
     rng = np.random.default_rng(0)
-    Xs = [jnp.asarray(rng.standard_normal((args.n, args.d)), jnp.float32)
-          for _ in range(3)]
+    if args.patches:
+        # the examples/dict_learning_patches.py pipeline at bench scale:
+        # stroke images -> native random 8x8 patch extraction -> center
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "examples"))
+        from dict_learning_patches import make_stroke_images
+        from lasso_tpu.native import (center_patches,
+                                      extract_patches_random)
+        imgs = make_stroke_images(n_images=400, size=28, seed=0)
+        args.d, args.k = 64, 256
+        Xs = []
+        for rep in range(3):
+            pats = extract_patches_random(imgs, patch=8,
+                                          per_image=args.n // 400 + 1,
+                                          seed=rep)
+            pats = center_patches(pats)[:args.n]
+            Xs.append(jnp.asarray(pats, jnp.float32))
+        args.n = int(Xs[0].shape[0])
+    else:
+        Xs = [jnp.asarray(rng.standard_normal((args.n, args.d)),
+                          jnp.float32) for _ in range(3)]
 
     variants = [("ridge", dict(constrained=False)),
                 ("constrained-sequential",
