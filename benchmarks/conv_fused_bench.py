@@ -26,8 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--config", choices=["headline", "rich"],
+    ap.add_argument("--config", choices=["headline", "rich", "rich7"],
                     default="headline")
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of variant labels")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +38,10 @@ def main():
 
     if args.config == "rich":
         N, Cz, Cx, kh, kw = 64, 256, 16, 5, 5
+    elif args.config == "rich7":
+        # rows = 32*7*8 = 1792 > the old 1024 gate: the config the
+        # round-5 gate lift unlocks (auto fuse_steps capped at 4)
+        N, Cz, Cx, kh, kw = 64, 128, 32, 7, 7
     else:
         N, Cz, Cx, kh, kw = 256, 64, 1, 7, 7
     H = W = 32
@@ -60,6 +66,7 @@ def main():
         return 0.5 * np.sum((xh - x64) ** 2) + ALPHA * np.sum(np.abs(zn))
 
     results = {}
+    keep = set(args.variants.split(",")) if args.variants else None
     for label, kws in [
         ("xla-f32", dict(use_pallas=False)),
         ("xla-mixed", dict(use_pallas=False, kernel_precision="mixed")),
@@ -68,6 +75,8 @@ def main():
         ("fused-mixed", dict(use_pallas=True, kernel_precision="mixed")),
         ("fused-restart", dict(use_pallas=True, restart=True)),
     ]:
+        if keep is not None and label not in keep:
+            continue
         run = jax.jit(lambda x, z0, W, kws=kws: ista_conv2d(
             x, z0, W, ALPHA, lr=lr, maxiter=args.iters, tol=0.0, **kws))
         t0 = time.perf_counter()

@@ -56,8 +56,8 @@ def main():
         ("select_only", dict(profile="select_only")),
         ("no_gs", dict(profile="no_gs")),
         ("mgs", dict(gs="mgs")),
+        ("mgs-bf16", dict(gs="mgs", kernel_precision="bf16")),
         ("cgs2", dict(gs="cgs2")),
-        ("cgs2-bf16", dict(gs="cgs2", kernel_precision="bf16")),
     ]
     for label, kws in variants:
         run = jax.jit(lambda x, W, kws=kws: fused_omp_solve(

@@ -59,23 +59,28 @@ from lasso_tpu.ops.precision import (dot_nn as _dot_nn,
                                      split_bf16_xla as _split_bf16_xla)
 
 
-def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False, gs="cgs2",
+def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False, gs="mgs",
                      profile=None):
     """Kernel body builder.
 
     ``gs`` selects the orthogonalization scheme:
 
-    * ``'cgs2'`` (default) — classical Gram-Schmidt with one
-      reorthogonalization pass ("twice is enough", Giraud et al. 2005):
-      ALL T projection coefficients are computed in two bulk
-      [T, D, bn] passes over the resident Q stack. No sequential
-      t-dependency — the VPU runs throughput-bound instead of
-      latency-bound on a T-step dependent chain. Numerically CGS2's
-      orthogonality error is O(eps) like MGS's (the single-pass CGS
-      O(eps * kappa^2) failure mode is what the second pass removes).
-    * ``'mgs'`` — modified Gram-Schmidt, one projection per resident
-      basis vector in a T-step ``fori_loop`` chain (the round-4
-      formulation; kept as the comparison/fallback path).
+    * ``'mgs'`` (default) — modified Gram-Schmidt with a DYNAMIC trip
+      count: step k projects against exactly the k resident basis
+      vectors (``fori_loop(0, k, ...)``; rows >= k are zero anyway, so
+      this is bit-identical to the round-4 fixed-T loop that read them
+      all). TPU-measured (benchmarks/omp_roofline.py, headline T=64):
+      the GS stage is VMEM-THROUGHPUT-bound at ~1.9 ms/iter when every
+      step reads all T rows — 52% of the whole iteration — and the
+      dynamic bound halves it (0.95 ms/iter; whole solve 0.241 →
+      0.177 s f32 / 0.152 s bf16, identical RSS).
+    * ``'cgs2'`` — classical Gram-Schmidt with one reorthogonalization
+      pass ("twice is enough", Giraud et al. 2005): ALL T projection
+      coefficients in two bulk [T, D, bn] passes, no sequential
+      t-chain. TPU-measured a WASH vs fixed-T MGS (2.00 vs 1.92
+      ms/iter): the stage was never latency-bound, and CGS2's 2×
+      VMEM reads cancel its better pipelining. Kept as the measured
+      counter-hypothesis and interpret-mode cross-check.
 
     ``profile`` (None | 'no_gs' | 'select_only') builds TIMING variants
     for the roofline accounting (benchmarks/omp_roofline.py): 'no_gs'
@@ -165,7 +170,10 @@ def _make_omp_kernel(T, Tp, D, K, split_float, emulate=False, gs="cgs2",
                     Pv = Pv + (rowsT == t).astype(jnp.float32) * cf
                     return (wv, Pv)
 
-                w, P = lax.fori_loop(0, T, proj,
+                # dynamic trip count: only rows 0..k-1 are populated at
+                # step k (q_k is written below) — reading the zero tail
+                # was pure VMEM traffic (see builder docstring)
+                w, P = lax.fori_loop(0, k, proj,
                                      (w, jnp.zeros((Tp, bn),
                                                    jnp.float32)))
             nrm2 = jnp.sum(w * w, axis=0, keepdims=True)
@@ -215,11 +223,14 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def _omp_tile_bytes(T, Tp, D, K, bn):
-    """VMEM model: Q + R scratch plus one [T, D, bn]-class CGS2 bulk
-    temporary, both W split orientations (bf16), the x tile, [K, bn]-
-    class selection temporaries (c, score, sel, iota), and [D, bn]-
-    class vectors (r, w, splits)."""
-    return (2 * T * D * bn * 4 + T * Tp * bn * 4
+    """VMEM model for the default (gs='mgs') kernel: Q + R scratch,
+    both W split orientations (bf16), the x tile, [K, bn]-class
+    selection temporaries (c, score, sel, iota), and [D, bn]-class
+    vectors (r, w, splits). gs='cgs2' additionally materializes a
+    [T, D, bn]-class bulk temporary — opting into it near the VMEM
+    boundary can push the compile over the limit (clear compiler
+    error, not silent corruption)."""
+    return (T * D * bn * 4 + T * Tp * bn * 4
             + 2 * 2 * K * D * 2
             + 5 * K * bn * 4
             + 6 * D * bn * 4)
@@ -238,7 +249,7 @@ def supports_fused_omp(N, D, K, T, dtype):
                    static_argnames=("T", "interpret", "kernel_precision",
                                     "gs", "profile"))
 def fused_omp_solve(x, weight, T, tol=None, interpret=False,
-                    kernel_precision="f32", gs="cgs2", profile=None):
+                    kernel_precision="f32", gs="mgs", profile=None):
     """Whole-solve fused OMP: greedy T-atom selection + LS fit in one
     kernel invocation per 128-sample tile.
 
@@ -247,10 +258,11 @@ def fused_omp_solve(x, weight, T, tol=None, interpret=False,
     ``tol`` residual stop froze the sample), and the LS coefficients on
     the support (f32-grade vs the solver's exact-Cholesky paths).
 
-    ``gs``: 'cgs2' (default — bulk two-pass classical Gram-Schmidt,
-    throughput-bound) or 'mgs' (the round-4 sequential chain); both are
-    f32-grade, see :func:`_make_omp_kernel`. ``profile`` builds
-    wrong-by-construction timing variants for the roofline bench only.
+    ``gs``: 'mgs' (default — dynamic-trip-count modified Gram-Schmidt,
+    reads only the k live basis rows at step k) or 'cgs2' (bulk
+    two-pass classical GS); both are f32-grade, see
+    :func:`_make_omp_kernel`. ``profile`` builds wrong-by-construction
+    timing variants for the roofline bench only.
     """
     N, D = x.shape
     K = weight.shape[1]
