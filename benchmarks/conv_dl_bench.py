@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--maxiter", type=int, default=30)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset (xla,fused-f32,"
+                         "fused-mixed); fused split-float compiles at "
+                         "channel-rich configs are ~15-30 min over the "
+                         "tunnel (cached after)")
     args = ap.parse_args()
 
     import jax
@@ -49,11 +54,14 @@ def main():
     xs = [jnp.asarray(rng.standard_normal((N, Cx, H, W)), jnp.float32)
           for _ in range(args.reps + 1)]
 
+    keep = set(args.variants.split(",")) if args.variants else None
     for label, kws in [
         ("xla", dict(use_pallas=False)),
         ("fused-f32", dict(use_pallas=True)),
         ("fused-mixed", dict(use_pallas=True, kernel_precision="mixed")),
     ]:
+        if keep is not None and label not in keep:
+            continue
         run = jax.jit(lambda X, kws=kws: conv_dict_learning(
             X, F, k, alpha=0.1, steps=args.steps, constrained=True,
             maxiter=args.maxiter, tol=0.0, **kws))

@@ -208,7 +208,22 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                          f"'adaptive' or 'mehrotra', got "
                          f"{barrier_schedule!r}")
     if eps is None:
-        eps = 1e-5 if barrier_schedule == "reference" else 1e-8
+        if barrier_schedule == "reference":
+            eps = 1e-5
+        elif barrier_schedule == "mehrotra" and x.dtype == jnp.float32:
+            # TPU-measured (benchmarks/ip_headline_bench.py, f32
+            # headline 16384x(512->2048)): the predictor drives slacks
+            # to the inverse-cutoff regime within ~20 iterations, where
+            # d = z/s spikes ~1/eps and the f32 normal-equations CG
+            # breaks down (objectives exploded to ~1e72 with eps=1e-8;
+            # 'adaptive' never reaches that regime at practical
+            # budgets). The 1e-5 floor keeps d within f32-safe
+            # conditioning; the achievable gap is then eps-class —
+            # still far below 'adaptive' f32 terminal gaps. x64 keeps
+            # 1e-8 (certified to 4e-8 gaps in tests).
+            eps = 1e-5
+        else:
+            eps = 1e-8
     prec = get_precision(precision)
     batch_size, input_size = x.shape
     assert weight.ndim == 2 and weight.shape[0] == input_size
@@ -303,8 +318,16 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
             ratio = mu_aff / jnp.maximum(mu_cur, 1e-30)
             sigma_m = jnp.clip(ratio, 0.0, 1.0) ** 3
             # corrector: center on sigma*mu and cancel the second-order
-            # complementarity term dz_aff * ds_aff (Mehrotra 1992)
-            rc = sigma_m * mu_cur - dz_aff * ds_aff - z * s
+            # complementarity term dz_aff * ds_aff (Mehrotra 1992).
+            # The term is CLAMPED to a multiple of the current duality
+            # measure (Gondzio-style target-complementarity safeguard):
+            # an inexact inner solve can make dz_aff * ds_aff enormous
+            # for blocked coordinates, and an unclamped corrector then
+            # amplifies it into divergence (f32 headline, measured);
+            # clamping only degrades those coordinates to first-order
+            soc = jnp.clip(dz_aff * ds_aff, -10.0 * mu_cur,
+                           10.0 * mu_cur)
+            rc = sigma_m * mu_cur - soc - z * s
             d_z, d_lmbda, d_s = directions(rc, dl_aff)
         else:
             d_z, d_lmbda, d_s = directions(rc, dl_prev)
