@@ -106,7 +106,7 @@ def _initialize_params(z0, weight, alpha, prec):
 
 def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
                    barrier_init=0.1, tol=1e-2, eps=None, precision=None,
-                   per_sample=False, kkt_solver="auto", cg_rtol=1e-6,
+                   per_sample=False, kkt_solver="auto", cg_rtol="forcing",
                    cg_maxiter=None, barrier_schedule="reference",
                    sigma=0.1, axis_name=None, verbose=False,
                    return_iters=False):
@@ -138,17 +138,18 @@ def interior_point(x, weight, z0=None, alpha=1.0, maxiter=20,
       solve; at their defaults the two paths agree to ~1e-5 relative
       objective (test_heavy_solvers.py pins it).
 
-      ``cg_rtol='forcing'`` enables an INEXACT-NEWTON forcing sequence
-      (Dembo-Eisenstat-Steihaug): each Newton iteration's inner
-      relative-residual target is ``clip(0.1 * gap, 1e-7, 1e-2)`` where
-      ``gap`` is the current batch-mean normalized duality gap — loose
-      inner solves while far from the central path (where an exact
-      Newton direction is wasted anyway), tightening geometrically as
-      the gap contracts. This is what makes 'mehrotra' affordable at
-      scale with CG: the predictor+corrector pair shares the forcing
-      target, so early iterations cost a fraction of a fixed-rtol
-      solve and terminal accuracy is unchanged (the final iterations
-      run at the tight floor).
+      ``cg_rtol='forcing'`` (the default) is an INEXACT-NEWTON forcing
+      sequence (Dembo-Eisenstat-Steihaug): each Newton iteration's
+      inner relative-residual target is ``clip(0.1 * gap, 1e-7, 1e-2)``
+      where ``gap`` is the current batch-mean normalized duality gap —
+      loose inner solves while far from the central path (where an
+      exact Newton direction is wasted anyway), tightening
+      geometrically as the gap contracts. TPU-measured equal-gap wins
+      at every scale tried (1.31x on 'adaptive' at 8192-16384 x
+      (512->2048), 1.13x on 'mehrotra'; benchmarks/
+      ip_headline_bench.py), and its 1e-7 floor is TIGHTER than the
+      old fixed 1e-6 default. Pass a float to pin a fixed tolerance
+      instead (x64 certification runs use e.g. 1e-13).
     * ``'auto'`` — 'cholesky' while the [B, D, D] build stays under
       1 GB, 'cg' beyond (the headline-scale default).
 
