@@ -254,9 +254,16 @@ def _make_cd_mod_kernel(K, D):
 
 
 def supports_fused_cd_mod(z, weight):
+    # K <= 1792: K = 2048 (x D = 512) reproducibly CRASHES the remote
+    # Mosaic compile pipeline ("tpu_compile_helper subprocess exit
+    # code 1", 2026-08-20, 3 attempts across sessions) while 1024/
+    # 1536/1792 compile and run; such shapes route to the XLA sweep
+    # (9.3 s per 100 sweeps at the 16384x(512->2048) headline —
+    # converged, just unfused).
     N, K = z.shape
     D = weight.shape[0]
     return (z.dtype == jnp.float32 and (N % 128 == 0 or N <= 128)
+            and K <= 1792
             and K * D * 4 + 2 * 128 * (K + D) * 4 <= 48 * 1024 * 1024)
 
 
