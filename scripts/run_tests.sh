@@ -30,9 +30,14 @@ rc=0
 shard tests/test_conv2d.py tests/test_conv_dict_learning.py \
       tests/test_conv_ops.py tests/test_coordinate_descent.py \
       tests/test_dict_learning.py tests/test_dict_learning_online.py \
-      tests/test_elastic_net.py tests/test_fused_conv.py \
-      tests/test_fused_ista.py tests/test_fused_omp.py \
-      tests/test_fused_padding.py || rc=$?
+      tests/test_elastic_net.py || rc=$?
+# the interpret-mode Pallas kernel files get their own fresh
+# interpreter: the channel-rich fused-conv cases (rows=1792, ~1800
+# unrolled rotate ops) DETERMINISTICALLY segfault the XLA-CPU compiler
+# when ~70 compilations of accumulated state precede them in-process
+# (reproduced 3x at the same test, 2026-08-20; all files pass alone)
+shard tests/test_fused_conv.py tests/test_fused_ista.py \
+      tests/test_fused_omp.py tests/test_fused_padding.py || rc=$?
 shard tests/test_gpsr.py tests/test_group_lasso.py \
       tests/test_heavy_solvers.py tests/test_implicit.py \
       tests/test_implicit_conv.py tests/test_implicit_group.py \
